@@ -1,0 +1,24 @@
+"""Block library: rank-polymorphic Flax modules + functional helpers."""
+
+from .blocks import (  # noqa: F401
+    LEAKY_SLOPE,
+    AttentionGate,
+    ConvBlock,
+    ConvLSTMCell,
+    ConvLSTMFusion,
+    DenseBlock,
+    DropBlock,
+    FeatureExtractionBlock,
+    MultiResBlock,
+    ResPath,
+    SpatialAttention,
+    SqueezeExcite,
+    TransConv,
+    add,
+    apply_activation,
+    concat,
+    downsample_pool,
+    get_activation,
+    upsample,
+)
+from .onn import Oper, OperationalDenseBlock, OperTranspose  # noqa: F401

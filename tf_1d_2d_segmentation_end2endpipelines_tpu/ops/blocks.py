@@ -1,0 +1,474 @@
+"""Rank-polymorphic block library (the framework's L1).
+
+One canonical implementation of every building block that the reference
+duplicates across its 1D and 2D trees (reference: TensorFlow/2DCNN/models/
+unet_variants.py:7-122, TensorFlow/1DCNN/Models/*.py headers).  All blocks
+work on NHWC / NLC layouts: the number of spatial dims is inferred from the
+input rank, so 1D models are the same code with one spatial axis.
+
+TPU-first notes
+---------------
+- Convs are expressed through ``flax.linen.Conv`` -> ``lax.conv_general_dilated``
+  which XLA tiles onto the MXU; activations/norms fuse into the conv epilogue.
+- Activations/params: compute dtype is configurable (bf16 on TPU), parameters
+  and BatchNorm statistics stay float32.
+- Everything is shape-static and jit-friendly (no data-dependent control flow).
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = tp.Any
+
+# Keras's LeakyReLU layer / "LeakyReLU" activation default slope; the
+# reference leaves it at the default (trans_conv2D, unet_variants.py:17).
+LEAKY_SLOPE = 0.3
+
+
+def _spatial_ndim(x: jax.Array) -> int:
+    """Number of spatial dims of an NC...C tensor (N...(spatial)...C)."""
+    return x.ndim - 2
+
+
+def _tup(v, n: int) -> tuple:
+    if isinstance(v, (tuple, list)):
+        if len(v) == n:
+            return tuple(v)
+        if len(v) == 1:
+            return tuple(v) * n
+        # a 2D kernel spec applied to a 1D tensor (or vice versa): take first
+        return (v[0],) * n
+    return (v,) * n
+
+
+def get_activation(name: tp.Optional[str]) -> tp.Optional[tp.Callable]:
+    """Activation registry covering every name the reference uses."""
+    if name is None:
+        return None
+    key = name.lower()
+    table = {
+        "relu": nn.relu,
+        "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=LEAKY_SLOPE),
+        "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=LEAKY_SLOPE),
+        "tanh": nn.tanh,
+        "sigmoid": nn.sigmoid,
+        "gelu": nn.gelu,
+        "elu": nn.elu,
+        "selu": nn.selu,
+        "softmax": lambda x: nn.softmax(x, axis=-1),
+        "linear": None,
+        "none": None,
+    }
+    if key not in table:
+        raise ValueError(f"Unknown activation: {name!r}")
+    return table[key]
+
+
+def apply_activation(x: jax.Array, name: tp.Optional[str]) -> jax.Array:
+    fn = get_activation(name)
+    return x if fn is None else fn(x)
+
+
+class ConvBlock(nn.Module):
+    """conv -> [BatchNorm] -> [activation].
+
+    Reference: ``Conv_Block`` (2DCNN/models/unet_variants.py:7-14; 1D copies).
+    Keras defaults replicated: he_uniform kernel init, BN momentum .99/eps 1e-3.
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    strides: tp.Union[int, tuple] = 1
+    use_bn: bool = True
+    activation: tp.Optional[str] = "relu"
+    padding: str = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        n = _spatial_ndim(x)
+        x = nn.Conv(
+            self.features,
+            kernel_size=_tup(self.kernel, n),
+            strides=_tup(self.strides, n),
+            padding=self.padding,
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.he_uniform(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        return apply_activation(x, self.activation)
+
+
+class TransConv(nn.Module):
+    """Transposed-conv upsample block (stride-2, 4-wide kernel).
+
+    Reference: ``trans_conv2D`` / ``trans_conv1D``
+    (2DCNN/models/unet_variants.py:17-24).  Defaults: no BN, LeakyReLU.
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 4
+    strides: tp.Union[int, tuple] = 2
+    use_bn: bool = False
+    activation: tp.Optional[str] = "leaky_relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        n = _spatial_ndim(x)
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=_tup(self.kernel, n),
+            strides=_tup(self.strides, n),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        return apply_activation(x, self.activation)
+
+
+def upsample(x: jax.Array, factor: tp.Union[int, tuple] = 2,
+             method: str = "bilinear") -> jax.Array:
+    """Spatial upsampling (reference ``upConv_Block``, unet_variants.py:35-38).
+
+    ``method='bilinear'`` matches Keras UpSampling2D(interpolation='bilinear')
+    (half-pixel centers); ``'nearest'`` matches the Keras default.
+    """
+    n = _spatial_ndim(x)
+    f = _tup(factor, n)
+    new_spatial = tuple(int(s * fi) for s, fi in zip(x.shape[1:-1], f))
+    if method == "nearest":
+        for axis, fi in enumerate(f):
+            if fi != 1:
+                x = jnp.repeat(x, fi, axis=axis + 1)
+        return x
+    shape = (x.shape[0], *new_spatial, x.shape[-1])
+    return jax.image.resize(x, shape, method="bilinear")
+
+
+def downsample_pool(x: jax.Array, factor: tp.Union[int, tuple] = 2,
+                    op: str = "max") -> jax.Array:
+    """MaxPooling / AveragePooling with window == stride (Keras semantics)."""
+    n = _spatial_ndim(x)
+    f = _tup(factor, n)
+    window = (1, *f, 1)
+    if op == "max":
+        return jax.lax.reduce_window(
+            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+            jax.lax.max, window, window, "VALID")
+    if op == "avg":
+        summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, window, "VALID")
+        denom = 1.0
+        for fi in f:
+            denom *= fi
+        return summed / jnp.asarray(denom, x.dtype)
+    raise ValueError(f"Unknown pool op {op!r}")
+
+
+def concat(*tensors: jax.Array) -> jax.Array:
+    """Channel-axis concat (reference ``Concat_Block``)."""
+    return jnp.concatenate(tensors, axis=-1)
+
+
+def add(*tensors: jax.Array) -> jax.Array:
+    """Elementwise add-merge (reference ``Add_Block``, fpn_variants.py:35)."""
+    out = tensors[0]
+    for t in tensors[1:]:
+        out = out + t
+    return out
+
+
+class FeatureExtractionBlock(nn.Module):
+    """Autoencoder-mode latent bottleneck: flatten -> Dense(features,
+    name='features') -> Dense -> reshape back to the spatial grid.
+
+    Reference: ``Feature_Extraction_Block`` (unet_variants.py:41-48).
+    """
+
+    model_width: int
+    feature_number: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        spatial = x.shape[1:-1]
+        flat = x.reshape((x.shape[0], -1))
+        latent = nn.Dense(self.feature_number, name="features",
+                          dtype=self.dtype, param_dtype=jnp.float32)(flat)
+        size = self.model_width
+        for s in spatial:
+            size *= s
+        latent = nn.Dense(size, dtype=self.dtype, param_dtype=jnp.float32)(latent)
+        return latent.reshape((x.shape[0], *spatial, self.model_width))
+
+
+class DenseBlock(nn.Module):
+    """Residual conv chain used as the UNet latent layer.
+
+    Reference: ``dense_block`` (unet_variants.py:51-56): one ConvBlock, then
+    ``num_layers`` iterations of ``x = x + ConvBlock(x)``.
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    num_layers: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+        for _ in range(self.num_layers):
+            cb = ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+            x = x + cb
+        return x
+
+
+class AttentionGate(nn.Module):
+    """Additive attention gate over a skip connection.
+
+    Reference: ``Attention_Block`` (unet_variants.py:67-82):
+    strided 1x1(+BN) on the skip, 1x1(+BN) on the gating signal, relu(add),
+    1x1->BN->sigmoid, resampled back up by (bilinear upsample + 1-filter
+    transposed conv) sum, then multiplied into the skip.
+    Output channels == skip channels; ``features = num_filters * multiplier``.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip: jax.Array, gate: jax.Array,
+                 train: bool = False) -> jax.Array:
+        n = _spatial_ndim(skip)
+        a = nn.Conv(self.features, _tup(1, n), strides=_tup(2, n),
+                    dtype=self.dtype, param_dtype=jnp.float32)(skip)
+        a = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(a)
+        b = nn.Conv(self.features, _tup(1, n), dtype=self.dtype,
+                    param_dtype=jnp.float32)(gate)
+        b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(b)
+        c = nn.relu(a + b)
+        c = nn.Conv(1, _tup(1, n), dtype=self.dtype, param_dtype=jnp.float32)(c)
+        c = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(c)
+        c = nn.sigmoid(c)
+        r1 = upsample(c, 2, method="bilinear")
+        r2 = TransConv(1, dtype=self.dtype)(c, train)
+        return skip * (r1 + r2)
+
+
+class MultiResBlock(nn.Module):
+    """MultiRes block: 3 chained convs (0.167/0.333/0.5 * alpha*W) concat +
+    1x1 shortcut, add, relu, BN.
+
+    Reference: ``MultiResBlock`` (unet_variants.py:85-100).
+    """
+
+    model_width: int
+    kernel: tp.Union[int, tuple] = 3
+    alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        w = self.alpha * self.model_width
+        f1, f2, f3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
+        shortcut = ConvBlock(f1 + f2 + f3, 1, dtype=self.dtype)(x, train)
+        c3 = ConvBlock(f1, self.kernel, dtype=self.dtype)(x, train)
+        c5 = ConvBlock(f2, self.kernel, dtype=self.dtype)(c3, train)
+        c7 = ConvBlock(f3, self.kernel, dtype=self.dtype)(c5, train)
+        out = jnp.concatenate([c3, c5, c7], axis=-1)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                           epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32)(out)
+        out = nn.relu(shortcut + out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                           epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32)(out)
+        return out
+
+
+class ResPath(nn.Module):
+    """Chain of ``length`` residual (3x3 conv + 1x1 shortcut) units with
+    relu+BN after each add.  Reference: ``ResPath`` (unet_variants.py:103-122).
+    """
+
+    length: int
+    model_width: int
+    kernel: tp.Union[int, tuple] = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        out = x
+        for _ in range(max(self.length, 1)):
+            shortcut = ConvBlock(self.model_width, 1, dtype=self.dtype)(out, train)
+            main = ConvBlock(self.model_width, self.kernel, dtype=self.dtype)(out, train)
+            out = nn.relu(shortcut + main)
+            out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                               epsilon=1e-3, dtype=self.dtype,
+                               param_dtype=jnp.float32)(out)
+        return out
+
+
+class SqueezeExcite(nn.Module):
+    """SE channel-attention block (reference: 1DCNN/Models/SEDUNet.py:79-86):
+    GAP -> Dense(C//ratio, relu) -> Dense(C, sigmoid) -> scale.
+    """
+
+    ratio: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        s = jnp.mean(x, axis=spatial_axes)
+        s = nn.Dense(max(c // self.ratio, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32)(s)
+        s = nn.relu(s)
+        s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.sigmoid(s)
+        s = s.reshape((x.shape[0],) + (1,) * len(spatial_axes) + (c,))
+        return x * s
+
+
+class SpatialAttention(nn.Module):
+    """CBAM-style spatial attention: channelwise mean+max -> concat ->
+    wide-kernel conv -> sigmoid gate.  Reference: ``spatial_attention``
+    (1DCNN/Models/saunet_variants.py:234-247).
+    """
+
+    kernel: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = _spatial_ndim(x)
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        feat = jnp.concatenate([avg, mx], axis=-1)
+        gate = nn.Conv(1, _tup(self.kernel, n), use_bias=False,
+                       dtype=self.dtype, param_dtype=jnp.float32)(feat)
+        return x * nn.sigmoid(gate)
+
+
+class DropBlock(nn.Module):
+    """Contiguous-block dropout with valid-seed-region sampling and
+    renormalization.  Reference: ``DropBlock1D``
+    (1DCNN/Models/saunet_variants.py:53-121); rank-polymorphic here.
+    """
+
+    block_size: int = 7
+    keep_prob: float = 0.9
+    deterministic: tp.Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 deterministic: tp.Optional[bool] = None) -> jax.Array:
+        det = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if det or self.keep_prob >= 1.0:
+            return x
+        n = _spatial_ndim(x)
+        spatial = x.shape[1:-1]
+        bs = min(self.block_size, min(spatial))
+        # gamma: seed-rate so that expected dropped fraction == 1 - keep_prob
+        feat = 1.0
+        valid = 1.0
+        for s in spatial:
+            feat *= s
+            valid *= max(s - bs + 1, 1)
+        gamma = (1.0 - self.keep_prob) / (bs ** n) * feat / valid
+        rng = self.make_rng("dropout")
+        # sample seeds only in the valid region (centers fit in bounds)
+        mask_shape = list(x.shape)
+        seeds = jax.random.bernoulli(rng, gamma, tuple(mask_shape)).astype(x.dtype)
+        # limit seeds to the valid region with a static border mask
+        for axis, s in enumerate(spatial):
+            idx = jnp.arange(s)
+            lo = (bs - 1) // 2
+            hi = s - (bs // 2)
+            border = ((idx >= lo) & (idx < hi)).astype(x.dtype)
+            shape = [1] * x.ndim
+            shape[axis + 1] = s
+            seeds = seeds * border.reshape(shape)
+        # expand each seed into a block via max-pool with window block_size
+        window = (1, *(_tup(bs, n)), 1)
+        block = jax.lax.reduce_window(
+            seeds, 0.0, jax.lax.max, window, (1,) * x.ndim, "SAME")
+        mask = 1.0 - block
+        denom = jnp.mean(mask)
+        return x * mask / jnp.maximum(denom, 1e-7)
+
+
+class ConvLSTMCell(nn.Module):
+    """One fused ConvLSTM step over a synthetic length-1 "time" axis.
+
+    The reference's BiConvLSTM skip-fusion trick reshapes two tensors to
+    (B, 1, ..., C), concats on channels and runs ConvLSTM with
+    return_sequences=False/go_backwards=True (e.g. 2DCNN models
+    unet_variants.py:144-149, 1DCNN/Models/BCDUNet.py:152-156).  With one
+    timestep that is exactly one LSTM cell application from a zero state, so
+    we implement the single fused step (Keras gate order i, f, c, o).
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = _spatial_ndim(x)
+        gates_x = nn.Conv(
+            4 * self.features, _tup(self.kernel, n), padding="SAME",
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype, param_dtype=jnp.float32, name="input_conv")(x)
+        # recurrent kernel exists (params parity) but h0 = 0 so it contributes
+        # nothing on a single step from the zero state; bias lives in input_conv.
+        i, f, g, o = jnp.split(gates_x, 4, axis=-1)
+        i = nn.sigmoid(i)
+        f = nn.sigmoid(f)
+        g = nn.tanh(g)
+        o = nn.sigmoid(o)
+        c = i * g  # c0 = 0 so f * c0 vanishes
+        return o * nn.tanh(c)
+
+
+class ConvLSTMFusion(nn.Module):
+    """LSTM-mode skip fusion: stack [skip, deconv, (extra)] on channels and
+    apply one ConvLSTM cell with ``features`` output channels."""
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, *tensors: jax.Array) -> jax.Array:
+        merged = jnp.concatenate(tensors, axis=-1)
+        return ConvLSTMCell(self.features, self.kernel, dtype=self.dtype)(merged)
