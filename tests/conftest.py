@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-virtual-device CPU mesh so sharding tests
+run without TPUs (SURVEY.md §4 test strategy, item c)."""
+import os
+
+# the session environment pins JAX_PLATFORMS=axon (the real-TPU tunnel) and a
+# sitecustomize registers the plugin at interpreter start; tests must run on
+# the virtual CPU mesh, so override and reset any already-initialized backend
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:  # drop any backend the sitecustomize already initialized
+    jax._src.xla_bridge.backends_are_initialized() and jax.clear_backends()
+except Exception:
+    pass
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

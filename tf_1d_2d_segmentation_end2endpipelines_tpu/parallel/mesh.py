@@ -1,0 +1,79 @@
+"""Mesh + sharding layer (a new component; the reference has no distributed
+story at all -- single-GPU ``model.fit``, SURVEY.md §2.3).
+
+TPU-native scaling design:
+- one ``jax.sharding.Mesh`` over ICI with axes ``('data', 'model')``
+- batches are sharded over ``data`` (data parallelism); gradients are
+  reduced by XLA-inserted ``psum`` over ICI when the train step is jitted
+  with these shardings -- no explicit collectives in user code
+- the ``model`` axis is reserved for channel-sharded convolutions of very
+  wide models (width-sharded kernels; XLA inserts all-gathers on the halo)
+- spatial partitioning for megapixel inference shards the *patch grid*, not
+  the convolution, mirroring the reference's patchify semantics
+  (utils/helper_functions.py:18-28) without halo exchange.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: tp.Optional[tp.Sequence[jax.Device]] = None,
+              data: int = -1, model: int = 1,
+              axis_names: tp.Tuple[str, str] = ("data", "model")) -> Mesh:
+    """Build a 2D ('data', 'model') mesh.  ``data=-1`` consumes all devices
+    not used by ``model``."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names)
+
+
+def local_mesh() -> Mesh:
+    """Mesh over all local devices, data-parallel only."""
+    return make_mesh()
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the batch axis sharded over 'data'.
+
+    Batches whose leading axis is not divisible by the data-axis size are
+    replicated instead (correct but slower -- matches Keras's
+    any-batch-size semantics; hot paths should use divisible batches).
+    """
+    data_size = mesh.shape["data"]
+
+    def _put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % data_size == 0:
+            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(_put, batch)
+
+
+def data_parallel_shardings(mesh: Mesh, state, batch):
+    """(in_shardings, out_shardings)-style helpers for a jitted step:
+    replicated state, batch-sharded data."""
+    rep = replicated(mesh)
+    state_sh = jax.tree.map(lambda _: rep, state)
+    batch_sh = jax.tree.map(lambda x: batch_sharding(mesh, np.ndim(x)), batch)
+    return state_sh, batch_sh

@@ -1,0 +1,102 @@
+"""Optimizer registry (reference: 2DCNN/utils/tf_optimizers.py:10-28).
+
+Eight optimizers by the reference's exact name strings, with the reference's
+hyperparameters, built on optax.  The learning rate is injected as an optax
+schedule or float so ReduceLROnPlateau can rescale it at runtime via
+``optax.inject_hyperparams`` (the train loop mutates
+``opt_state.hyperparams['learning_rate']``).
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _ftrl(learning_rate: float, learning_rate_power: float = -0.5,
+          initial_accumulator_value: float = 0.1,
+          l1: float = 0.0, l2: float = 0.0) -> optax.GradientTransformation:
+    """FTRL-proximal (optax has no built-in; Keras-default hyperparams)."""
+
+    def init_fn(params):
+        accum = jax.tree.map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params)
+        linear = jax.tree.map(jnp.zeros_like, params)
+        return (accum, linear)
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("FTRL requires params")
+        accum, linear = state
+        new_accum = jax.tree.map(lambda n, g: n + g * g, accum, grads)
+
+        def _lin(l, g, n_new, n_old, p):
+            sigma = (jnp.power(n_new, -learning_rate_power)
+                     - jnp.power(n_old, -learning_rate_power)) / learning_rate
+            return l + g - sigma * p
+
+        new_linear = jax.tree.map(_lin, linear, grads, new_accum, accum, params)
+
+        def _new_p(l, n_new):
+            quad = jnp.power(n_new, -learning_rate_power) / learning_rate + 2 * l2
+            pre = jnp.clip(l, -l1, l1) - l if l1 > 0 else -l
+            return pre / quad
+
+        new_params = jax.tree.map(_new_p, new_linear, new_accum)
+        updates = jax.tree.map(lambda np_, p: np_ - p, new_params, params)
+        return updates, (new_accum, new_linear)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(name: str, learning_rate: float
+                   ) -> optax.GradientTransformation:
+    """Build an optimizer by the reference's name string, wrapped in
+    ``inject_hyperparams`` so the LR is runtime-adjustable (RLRoP)."""
+    key = name
+
+    if key == "Adam":
+        fac = lambda learning_rate: optax.adam(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    elif key == "Adadelta":
+        fac = lambda learning_rate: optax.adadelta(
+            learning_rate, rho=0.95, eps=1e-7)
+    elif key == "Adagrad":
+        fac = lambda learning_rate: optax.adagrad(
+            learning_rate, initial_accumulator_value=0.1, eps=1e-7)
+    elif key == "Adamax":
+        fac = lambda learning_rate: optax.adamax(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    elif key == "FTRL":
+        fac = lambda learning_rate: _ftrl(learning_rate)
+    elif key == "Nadam":
+        fac = lambda learning_rate: optax.nadam(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    elif key == "RMSprop":
+        fac = lambda learning_rate: optax.rmsprop(
+            learning_rate, decay=0.9, eps=1e-7, centered=False, momentum=None)
+    elif key == "SGD":
+        fac = lambda learning_rate: optax.sgd(learning_rate, momentum=None,
+                                              nesterov=False)
+    else:
+        raise ValueError(
+            "Please select a valid optimizer. Check for spelling mistakes, "
+            f"capital/small letters, etc. (got {name!r})")
+    return optax.inject_hyperparams(fac)(learning_rate=learning_rate)
+
+
+OPTIMIZER_NAMES = ("Adam", "Adadelta", "Adagrad", "Adamax", "FTRL", "Nadam",
+                   "RMSprop", "SGD")
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Return opt_state with a new injected learning rate (RLRoP hook)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=opt_state.hyperparams["learning_rate"].dtype)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])

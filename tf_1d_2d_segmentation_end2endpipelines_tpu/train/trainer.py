@@ -1,0 +1,183 @@
+"""Trainer: the pjit-sharded replacement for Keras ``compile``/``fit``/
+``predict`` (reference 2DCNN/Train.py:322-415, Test.py:161).
+
+Design:
+- ONE compiled train step (forward + DS loss + backward + optimizer +
+  metric accumulation); state replicated, batch sharded over the mesh's
+  'data' axis; XLA inserts the ICI psum for gradients.
+- Metrics accumulate in additive on-device states; only per-epoch scalars
+  cross to the host.
+- Callbacks (EarlyStopping / ReduceLROnPlateau / best-checkpoint) are
+  host-side control flow between epochs, like the Keras originals.
+"""
+from __future__ import annotations
+
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import local_mesh, replicated, shard_batch
+from .callbacks import BestTracker, EarlyStopping, ReduceLROnPlateau
+from .checkpoint import CheckpointManager
+from .losses import get_loss
+from .metrics import Metric, make_metric
+from .optimizers import get_learning_rate, make_optimizer
+from .state import (TrainState, create_train_state, make_eval_step,
+                    make_predict_step, make_train_step)
+
+BatchIter = tp.Callable[[], tp.Iterable[tp.Tuple[np.ndarray, tp.Any]]]
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        loss: str = "BinaryCrossentropy",
+        optimizer: str = "Adam",
+        learning_rate: float = 3e-4,
+        metrics: tp.Sequence[str] = (),
+        loss_weights: tp.Optional[tp.Dict[str, float]] = None,
+        num_classes: int = 2,
+        mesh=None,
+        seed: int = 42,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else local_mesh()
+        self.loss_name = loss
+        self.loss_fn = get_loss(loss)
+        self.loss_weights = loss_weights
+        self.optimizer = make_optimizer(optimizer, learning_rate)
+        self.metric_defs: tp.List[Metric] = [
+            make_metric(m, num_classes=num_classes) for m in metrics]
+        self.seed = seed
+        self.state: tp.Optional[TrainState] = None
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+        self.history: tp.Dict[str, tp.List[float]] = {}
+
+    # ------------------------------------------------------------ plumbing
+    def init_state(self, sample_input: np.ndarray) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        x = jnp.asarray(sample_input)
+        self.state = create_train_state(self.model, rng, x, self.optimizer)
+        return self.state
+
+    def _build_steps(self):
+        if self._train_step is None:
+            rep = replicated(self.mesh)
+            step = make_train_step(self.model, self.optimizer, self.loss_fn,
+                                   self.loss_weights, self.metric_defs)
+            self._train_step = jax.jit(step, donate_argnums=(0,))
+            self._eval_step = jax.jit(
+                make_eval_step(self.model, self.loss_fn, self.loss_weights,
+                               self.metric_defs))
+            self._predict_step = jax.jit(make_predict_step(self.model))
+            self._rep_sharding = rep
+
+    def _metric_init(self):
+        return tuple(m.init() for m in self.metric_defs)
+
+    def _metric_results(self, states, prefix: str = ""):
+        out = {}
+        for m, s in zip(self.metric_defs, states):
+            out[prefix + m.name] = float(jax.device_get(m.result(s)))
+        return out
+
+    # ---------------------------------------------------------------- fit
+    def fit(
+        self,
+        train_data: BatchIter,
+        val_data: tp.Optional[BatchIter] = None,
+        epochs: int = 1,
+        callbacks: tp.Sequence = (),
+        checkpoint: tp.Optional[CheckpointManager] = None,
+        monitor: str = "val_loss",
+        verbose: int = 1,
+    ) -> tp.Dict[str, tp.List[float]]:
+        assert self.state is not None, "call init_state(sample) first"
+        self._build_steps()
+        early = next((c for c in callbacks if isinstance(c, EarlyStopping)),
+                     None)
+        rlrop = next((c for c in callbacks
+                      if isinstance(c, ReduceLROnPlateau)), None)
+        best = BestTracker(monitor) if checkpoint is not None else None
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            # -------- train epoch --------
+            mstates = self._metric_init()
+            losses = []
+            nbatch = 0
+            for x, y in train_data():
+                batch = shard_batch(self.mesh, {"x": np.asarray(x), "y": y})
+                self.state, loss, mstates = self._train_step(
+                    self.state, batch["x"], batch["y"], mstates)
+                losses.append(loss)
+                nbatch += 1
+            logs: tp.Dict[str, float] = {}
+            if losses:
+                logs["loss"] = float(jnp.mean(jnp.stack(losses)))
+            logs.update(self._metric_results(mstates))
+            # -------- validation epoch --------
+            if val_data is not None:
+                vstates = self._metric_init()
+                vlosses = []
+                for x, y in val_data():
+                    batch = shard_batch(self.mesh,
+                                        {"x": np.asarray(x), "y": y})
+                    vloss, _, vstates = self._eval_step(
+                        self.state, batch["x"], batch["y"], vstates)
+                    vlosses.append(vloss)
+                if vlosses:
+                    logs["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
+                logs.update(self._metric_results(vstates, prefix="val_"))
+            logs["lr"] = get_learning_rate(self.state.opt_state)
+            logs["epoch_time"] = time.time() - t0
+            for k, v in logs.items():
+                self.history.setdefault(k, []).append(v)
+            if verbose:
+                msg = " - ".join(f"{k}: {v:.5g}" for k, v in logs.items())
+                print(f"Epoch {epoch + 1}/{epochs} [{nbatch} steps] {msg}",
+                      flush=True)
+            # -------- callbacks --------
+            if best is not None and best.is_best(logs):
+                checkpoint.save(self.state, "best")
+            if rlrop is not None:
+                new_lr = rlrop.on_epoch_end(epoch, logs, logs["lr"])
+                if new_lr != logs["lr"]:
+                    self.state = self.state.replace_lr(new_lr)
+            if early is not None:
+                early.on_epoch_end(epoch, logs)
+                if early.stopped:
+                    if verbose:
+                        print(f"Early stopping at epoch {epoch + 1}",
+                              flush=True)
+                    break
+        return self.history
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(self, data: BatchIter) -> tp.Dict[str, float]:
+        assert self.state is not None
+        self._build_steps()
+        mstates = self._metric_init()
+        losses = []
+        for x, y in data():
+            batch = shard_batch(self.mesh, {"x": np.asarray(x), "y": y})
+            loss, _, mstates = self._eval_step(self.state, batch["x"],
+                                               batch["y"], mstates)
+            losses.append(loss)
+        logs = {"loss": float(jnp.mean(jnp.stack(losses)))} if losses else {}
+        logs.update(self._metric_results(mstates))
+        return logs
+
+    # ------------------------------------------------------------- predict
+    def predict(self, x: np.ndarray) -> tp.Dict[str, np.ndarray]:
+        assert self.state is not None
+        self._build_steps()
+        xb = shard_batch(self.mesh, np.asarray(x))
+        out = self._predict_step(self.state, xb)
+        return jax.tree.map(np.asarray, jax.device_get(out))
