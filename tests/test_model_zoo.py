@@ -1,0 +1,68 @@
+"""Shape/constructibility tests across the model zoo (replaces the
+reference's __main__ smoke blocks, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+    ARCH_NAMES_1D, SegModel, UNet1D)
+
+DECODERS_2D = ["UNet", "UNetE", "UNetP", "UNetPP", "UNet3P", "UNet4P",
+               "AHNet", "MultiResUNet", "MultiResUNet3P", "KSSNet",
+               "SelfUNet", "SelfUNetPP", "SelfUNet3P"]
+
+
+def _run(model, x):
+    vs = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    return jax.jit(lambda v, x: model.apply(v, x))(vs, x), vs
+
+
+@pytest.mark.parametrize("dec", DECODERS_2D)
+def test_2d_decoder_builds(dec):
+    x = jnp.ones((1, 32, 32, 3))
+    model = SegModel(decoder_name=dec, model_width=4, model_depth=2, ds=1)
+    out, _ = _run(model, x)
+    assert out["out"].shape == (1, 32, 32, 1)
+    assert set(out) == {"out", "level1", "level2"}
+    # UNet3P-style DS heads are stride-2 (reference quirk)
+    if dec in ("UNet3P", "MultiResUNet3P", "SelfUNet3P"):
+        assert out["level1"].shape == (1, 16, 16, 1)
+
+
+@pytest.mark.parametrize("arch", list(ARCH_NAMES_1D))
+def test_1d_arch_builds(arch):
+    x = jnp.ones((1, 32, 1))
+    model = getattr(UNet1D(32, 2, 1, 4, 3, ds=1), arch)()
+    out, _ = _run(model, x)
+    assert out["out"].shape == (1, 32, 1)
+    assert set(out) == {"out", "level1", "level2"}
+
+
+def test_2d_fpn_genre():
+    x = jnp.ones((1, 32, 32, 3))
+    model = SegModel(decoder_name="FPN", model_width=4, model_depth=3,
+                     genre="FPN")
+    out, _ = _run(model, x)
+    assert out["out"].shape == (1, 32, 32, 1)
+
+
+def test_flags_ag_lstm_ae():
+    x = jnp.ones((1, 32, 32, 3))
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     ag=1, lstm=1, ae=1, feature_number=16)
+    out, vs = _run(model, x)
+    assert out["out"].shape == (1, 32, 32, 1)
+    # autoencoder latent Dense named 'features' exists
+    flat = jax.tree_util.tree_flatten_with_path(vs["params"])[0]
+    assert any("features" in "/".join(str(p) for p in path)
+               for path, _ in flat)
+
+
+def test_classification_softmax_1d():
+    x = jnp.ones((1, 32, 1))
+    model = getattr(UNet1D(32, 2, 1, 4, 3, ds=0,
+                           problem_type="Classification", output_nums=4),
+                    "UNet")()
+    out, _ = _run(model, x)
+    assert out["out"].shape == (1, 32, 4)
+    assert jnp.allclose(out["out"].sum(-1), 1.0, atol=1e-4)

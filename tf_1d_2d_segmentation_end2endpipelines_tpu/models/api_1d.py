@@ -1,0 +1,253 @@
+"""1D model API — the JAX equivalent of the reference's
+``TensorFlow/1DCNN/Models/unet_variants.py`` builder class (16 methods,
+constructor :223-253).
+
+1D-tree conventions that differ from the 2D tree (SURVEY.md §2.2):
+- double Conv_Block per encoder level and per decoder node (except MultiRes
+  / UNet3P nodes)
+- ``trans_conv1D``: 2-wide kernel + BN + ReLU (Models/unet_variants.py:103)
+- nearest-neighbor UpSampling1D
+- autoencoder Feature_Extraction_Block applied to the POOLED bottleneck
+  input (before the latent convs, :269-271)
+- head: softmax for 'Classification', linear for 'Regression' (:306-310)
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import (
+    ConvBlock,
+    FeatureExtractionBlock,
+    MultiResBlock,
+    Oper,
+    RecurrentConvBlock,
+    ResPath,
+    SelfRecurrentConvBlock,
+    concat,
+    downsample_pool,
+)
+from .decoders import (
+    ChainDecoder,
+    FullScaleDecoder,
+    GridDecoder,
+    SelfFullScaleDecoder,
+    SelfGridDecoder,
+)
+
+Dtype = tp.Any
+
+#: arch -> (topology ctor, decoder kwargs, encoder family, latent family)
+_ARCHS: tp.Dict[str, tp.Dict[str, tp.Any]] = {
+    "UNet":           dict(topo="chain", node="conv", reps=2),
+    "UNetE":          dict(topo="grid", variant="E", node="conv", reps=2),
+    "UNetP":          dict(topo="grid", variant="P", node="conv", reps=2),
+    "UNetPP":         dict(topo="grid", variant="PP", node="conv", reps=2),
+    "UNet3P":         dict(topo="full", node="conv", reps=1),
+    "UNet4P":         dict(topo="grid", variant="4P", node="conv", reps=2,
+                           enc="dense4p"),
+    "MultiResUNet":   dict(topo="chain", node="multires", reps=1,
+                           enc="multires", latent="multires"),
+    "MultiResUNet3P": dict(topo="full", node="multires", reps=1,
+                           enc="multires", latent="multires",
+                           multires=True),
+    "RUNet":          dict(topo="chain", node="recurrent", reps=2,
+                           enc="recurrent", latent="recurrent"),
+    "R2UNet":         dict(topo="chain", node="r2", reps=2, enc="r2x2",
+                           latent="r2x2"),
+    "R2UNetPP":       dict(topo="grid", variant="PP", node="r2", reps=1,
+                           enc="r2x1", latent="r2x1"),
+    "R2UNet3P":       dict(topo="full", node="r2", reps=2, enc="r2x2",
+                           latent="r2x2"),
+    "SelfR2UNetPP":   dict(topo="selfgrid", bare=True, enc="selfrec",
+                           latent="selfrec_q1"),
+    "SelfUNetPP":     dict(topo="selfgrid", enc="oper2", latent="oper2"),
+    "SelfUNet3P":     dict(topo="selffull", enc="oper2", latent="oper2"),
+}
+
+ARCH_NAMES_1D = tuple(_ARCHS)
+
+
+class SegModel1D(nn.Module):
+    """Config-driven 1D segmentation network (input: (B, L, C))."""
+
+    arch: str
+    model_width: int
+    model_depth: int
+    kernel_size: int = 3
+    problem_type: str = "Regression"
+    output_nums: int = 1
+    ds: int = 0
+    ae: int = 0
+    ag: int = 0
+    lstm: int = 0
+    alpha: float = 1.0
+    t: int = 2
+    q: int = 3
+    feature_number: int = 1024
+    is_transconv: bool = True
+    dtype: Dtype = jnp.float32
+
+    def _enc_level(self, x: jax.Array, feats: int, family: str,
+                   respath_len: int, train: bool) -> tp.Tuple[jax.Array, jax.Array]:
+        """One encoder level -> (tap, conv_for_pool)."""
+        k = self.kernel_size
+        if family == "multires":
+            conv = MultiResBlock(feats, k, alpha=self.alpha,
+                                 dtype=self.dtype)(x, train)
+            tap = ResPath(respath_len, feats, k, dtype=self.dtype)(conv, train)
+            return tap, conv
+        if family == "recurrent":
+            conv = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
+            conv = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(conv, train)
+            return conv, conv
+        if family in ("r2x1", "r2x2"):
+            raw = ConvBlock(feats, 1, dtype=self.dtype)(x, train)
+            conv = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
+            if family == "r2x2":
+                conv = RecurrentConvBlock(feats, k, t=self.t,
+                                          dtype=self.dtype)(conv, train)
+            conv = raw + conv
+            return conv, conv
+        if family == "selfrec":
+            conv = SelfRecurrentConvBlock(feats, k, t=self.t, q=self.q,
+                                          dtype=self.dtype)(x, train)
+            return conv, conv
+        if family == "oper2":
+            conv = Oper(feats, k, q=self.q, dtype=self.dtype)(x)
+            conv = Oper(feats, k, q=self.q, dtype=self.dtype)(conv)
+            return conv, conv
+        conv = ConvBlock(feats, k, dtype=self.dtype)(x, train)
+        conv = ConvBlock(feats, k, dtype=self.dtype)(conv, train)
+        return conv, conv
+
+    def _latent(self, x: jax.Array, family: str, train: bool) -> jax.Array:
+        k = self.kernel_size
+        feats = self.model_width * (2 ** self.model_depth)
+        if family == "multires":
+            return MultiResBlock(feats, k, alpha=self.alpha,
+                                 dtype=self.dtype)(x, train)
+        if family == "recurrent":
+            x = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
+            return RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
+        if family in ("r2x1", "r2x2"):
+            raw = ConvBlock(feats, 1, dtype=self.dtype)(x, train)
+            out = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
+            if family == "r2x2":
+                out = RecurrentConvBlock(feats, k, t=self.t,
+                                         dtype=self.dtype)(out, train)
+            return raw + out
+        if family == "selfrec_q1":
+            # SelfR2UNetPP passes q=1 to its latent block (a reference quirk)
+            return SelfRecurrentConvBlock(feats, k, t=self.t, q=1,
+                                          dtype=self.dtype)(x, train)
+        if family == "oper2":
+            x = Oper(feats, k, q=self.q, dtype=self.dtype)(x)
+            return Oper(feats, k, q=self.q, dtype=self.dtype)(x)
+        x = ConvBlock(feats, k, dtype=self.dtype)(x, train)
+        return ConvBlock(feats, k, dtype=self.dtype)(x, train)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.Dict[str, jax.Array]:
+        cfg = _ARCHS[self.arch]
+        D = self.model_depth
+        W = self.model_width
+        family = cfg.get("enc", "conv")
+        latent_family = cfg.get("latent", "conv")
+        x = x.astype(self.dtype)
+
+        # ---- encoder ----
+        taps: tp.List[jax.Array] = []
+        pool = x
+        for i in range(1, D + 1):
+            if family == "dense4p" and i > 1:
+                # 1D UNet4P dense encoder inputs: pooled earlier taps
+                # (skipping the first level -- a reference indexing quirk),
+                # concatenated ungated
+                for kk in range(1, i - 1):
+                    g = downsample_pool(taps[kk], 2 ** (i - 1 - kk), op="max")
+                    pool = concat(pool, g)
+            lvl_family = "conv" if family == "dense4p" else family
+            tap, conv = self._enc_level(pool, W * (2 ** (i - 1)), lvl_family,
+                                        D - i + 1, train)
+            taps.append(tap)
+            pool = downsample_pool(conv, 2, op="max")
+
+        # ---- autoencoder bottleneck (on the pooled tensor: 1D convention)
+        if self.ae == 1:
+            pool = FeatureExtractionBlock(W, self.feature_number,
+                                          dtype=self.dtype)(pool)
+        latent = self._latent(pool, latent_family, train)
+
+        # ---- decoder ----
+        skips = taps + [latent]
+        common = dict(model_width=W, model_depth=D, D_S=self.ds, A_G=self.ag,
+                      LSTM=self.lstm, is_transconv=self.is_transconv,
+                      alpha=self.alpha, q=self.q, t=self.t,
+                      kernel=self.kernel_size, node=cfg.get("node", "conv"),
+                      conv_repeats=cfg.get("reps", 1), dialect="1d",
+                      dtype=self.dtype)
+        topo = cfg["topo"]
+        if topo == "chain":
+            decoder = ChainDecoder(style="unet", **common)
+        elif topo == "grid":
+            decoder = GridDecoder(variant=cfg["variant"], **common)
+        elif topo == "full":
+            decoder = FullScaleDecoder(multires=cfg.get("multires", False),
+                                       **common)
+        elif topo == "selfgrid":
+            decoder = SelfGridDecoder(bare=cfg.get("bare", False), **common)
+        elif topo == "selffull":
+            decoder = SelfFullScaleDecoder(**common)
+        else:
+            raise ValueError(topo)
+        deconv, levels = decoder(skips, train)
+
+        # ---- output head ----
+        act = "softmax" if self.problem_type == "Classification" else None
+        out = nn.Conv(self.output_nums, (1,), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out")(deconv)
+        if act is not None:
+            out = nn.softmax(out, axis=-1)
+        outputs = {"out": out}
+        if self.ds == 1:
+            for idx, lvl in enumerate(levels):
+                outputs[f"level{D - idx}"] = lvl
+        return outputs
+
+
+class UNet1D:
+    """Facade with the reference's exact constructor + 16 method names
+    (1DCNN/Models/unet_variants.py:222-253).  Each method returns a
+    configured ``SegModel1D`` Flax module."""
+
+    def __init__(self, length, model_depth, num_channel, model_width,
+                 kernel_size, problem_type="Regression", output_nums=1,
+                 ds=1, ae=0, ag=0, lstm=0, alpha=1, t=2, feature_number=1024,
+                 is_transconv=True, q=3, dtype=jnp.float32):
+        if (length == 0 or model_depth == 0 or model_width == 0
+                or num_channel == 0 or kernel_size == 0):
+            raise ValueError("Please Check the Values of the Input Parameters!")
+        self.length = length
+        self.num_channel = num_channel
+        self._kw = dict(model_width=model_width, model_depth=model_depth,
+                        kernel_size=kernel_size, problem_type=problem_type,
+                        output_nums=output_nums, ds=ds, ae=ae, ag=ag,
+                        lstm=lstm, alpha=alpha, t=t,
+                        feature_number=feature_number,
+                        is_transconv=is_transconv, q=q, dtype=dtype)
+
+    def _build(self, arch: str) -> SegModel1D:
+        return SegModel1D(arch=arch, **self._kw)
+
+
+def _add_methods():
+    for name in ARCH_NAMES_1D:
+        setattr(UNet1D, name, (lambda self, _n=name: self._build(_n)))
+
+
+_add_methods()

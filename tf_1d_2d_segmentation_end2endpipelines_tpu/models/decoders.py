@@ -36,9 +36,11 @@ from ..ops import (
     AttentionGate,
     ConvBlock,
     ConvLSTMFusion,
+    ConvMixerBlock,
     MultiResBlock,
     Oper,
     OperTranspose,
+    RecurrentConvBlock,
     ResPath,
     TransConv,
     concat,
@@ -50,6 +52,24 @@ Dtype = tp.Any
 
 
 class _DecoderBase(nn.Module):
+    """Shared decoder machinery.
+
+    ``dialect`` selects the reference tree's upsampling conventions:
+    - '2d' (2DCNN): transposed conv = 4-wide kernel, no BN, LeakyReLU
+      (trans_conv2D, unet_variants.py:17); non-transconv upsampling is
+      bilinear (upConv_Block :35)
+    - '1d' (1DCNN): transposed conv = 2-wide kernel + BN + ReLU
+      (trans_conv1D, Models/unet_variants.py:103); UpSampling1D is nearest
+
+    ``node`` selects the per-node block:
+    - 'conv'      : ``conv_repeats`` x ConvBlock(kernel)
+    - 'multires'  : MultiResBlock
+    - 'recurrent' : ``conv_repeats`` x RecurrentConvBlock (RUNet)
+    - 'r2'        : 1x1 ConvBlock + RecurrentConvBlock residual add (R2UNet;
+      ``conv_repeats`` recurrent blocks chained before the add)
+    - 'convmixer' : ConvMixerBlock (convmixer_unet.py topologies)
+    """
+
     model_width: int
     model_depth: int
     D_S: int = 0
@@ -58,14 +78,52 @@ class _DecoderBase(nn.Module):
     is_transconv: bool = True
     alpha: float = 1.0
     q: int = 3
+    t: int = 2
+    kernel: int = 3
+    conv_repeats: int = 1
+    node: str = "conv"
+    dialect: str = "2d"
     dtype: Dtype = jnp.float32
 
     def _up(self, x: jax.Array, features: int, train: bool) -> jax.Array:
-        """Upsample one step: transposed conv or bilinear (reference
-        ``trans_conv2D`` / ``upConv_Block`` switch)."""
+        """Upsample one step: transposed conv or resize (reference
+        ``trans_conv2D``/``trans_conv1D`` vs ``upConv_Block``)."""
         if self.is_transconv:
+            if self.dialect == "1d":
+                return TransConv(features, kernel=2, use_bn=True,
+                                 activation="relu", dtype=self.dtype)(x, train)
             return TransConv(features, dtype=self.dtype)(x, train)
-        return upsample(x, 2, method="bilinear")
+        method = "nearest" if self.dialect == "1d" else "bilinear"
+        return upsample(x, 2, method=method)
+
+    def _resize(self, x: jax.Array, factor: int) -> jax.Array:
+        method = "nearest" if self.dialect == "1d" else "bilinear"
+        return upsample(x, factor, method=method)
+
+    def _node_block(self, x: jax.Array, features: int, train: bool
+                    ) -> jax.Array:
+        if self.node == "multires":
+            return MultiResBlock(features, self.kernel, alpha=self.alpha,
+                                 dtype=self.dtype)(x, train)
+        if self.node == "recurrent":
+            for _ in range(self.conv_repeats):
+                x = RecurrentConvBlock(features, self.kernel, t=self.t,
+                                       dtype=self.dtype)(x, train)
+            return x
+        if self.node == "r2":
+            raw = ConvBlock(features, 1, dtype=self.dtype)(x, train)
+            out = x
+            for _ in range(self.conv_repeats):
+                out = RecurrentConvBlock(features, self.kernel, t=self.t,
+                                         dtype=self.dtype)(out, train)
+            return raw + out
+        if self.node == "convmixer":
+            return ConvMixerBlock(features, self.kernel,
+                                  dtype=self.dtype)(x, train)
+        out = x
+        for _ in range(self.conv_repeats):
+            out = ConvBlock(features, self.kernel, dtype=self.dtype)(out, train)
+        return out
 
     def _ds_head(self, x: jax.Array, level: int,
                  strides: int = 1) -> jax.Array:
@@ -121,13 +179,9 @@ class ChainDecoder(_DecoderBase):
                 # decoder stage (unet_variants.py:631-638)
                 for m in range(0, j + 1):
                     tmp = skips[-1] if m == 0 else deconvs[m]
-                    tmp = upsample(tmp, 2 ** (j - m + 1), method="bilinear")
+                    tmp = self._resize(tmp, 2 ** (j - m + 1))
                     deconv = concat(deconv, nn.sigmoid(tmp))
-            if self.style in ("multires", "kssnet"):
-                deconv = MultiResBlock(width_j, 3, alpha=self.alpha,
-                                       dtype=self.dtype)(deconv, train)
-            else:
-                deconv = ConvBlock(width_j, 3, dtype=self.dtype)(deconv, train)
+            deconv = self._node_block(deconv, width_j, train)
             deconvs[j + 1] = deconv
             if self.style == "fpn":
                 fpn_stages.append(deconv)
@@ -135,7 +189,7 @@ class ChainDecoder(_DecoderBase):
             # concat pyramid of all decoder stages (fpn_variants.py:163-169)
             tot = fpn_stages[0]
             for k in range(1, D):
-                tot = upsample(tot, 2, method="bilinear")
+                tot = self._resize(tot, 2)
                 tot = concat(tot, fpn_stages[k])
             return tot, levels
         return deconv, levels
@@ -211,10 +265,15 @@ class GridDecoder(_DecoderBase):
                     for m in range(1, i - 1):
                         tmp = deconvs_skip[m]
                         if self.variant == "AH":
-                            tmp = ResPath(j, W, 3, dtype=self.dtype)(tmp, train)
-                        tmp = upsample(tmp, 2 ** (i - m), method="bilinear")
-                        deconv = concat(deconv, nn.sigmoid(tmp))
-                deconv = ConvBlock(width_j, 3, dtype=self.dtype)(deconv, train)
+                            tmp = ResPath(j, W, self.kernel,
+                                          dtype=self.dtype)(tmp, train)
+                        tmp = self._resize(tmp, 2 ** (i - m))
+                        # 1D UNet4P concats the skip paths ungated (the 2D
+                        # tree sigmoid-gates them, unet_variants.py:444)
+                        if self.dialect == "2d":
+                            tmp = nn.sigmoid(tmp)
+                        deconv = concat(deconv, tmp)
+                deconv = self._node_block(deconv, width_j, train)
                 deconvs[(j, i)] = deconv
                 if has_skip_paths and (i + j) == D:
                     deconvs_skip[i] = deconv
@@ -236,12 +295,6 @@ class FullScaleDecoder(_DecoderBase):
 
     multires: bool = False
 
-    def _block(self, x: jax.Array, features: int, train: bool) -> jax.Array:
-        if self.multires:
-            return MultiResBlock(features, 3, alpha=self.alpha,
-                                 dtype=self.dtype)(x, train)
-        return ConvBlock(features, 3, dtype=self.dtype)(x, train)
-
     @nn.compact
     def __call__(self, skips: tp.Sequence[jax.Array],
                  train: bool = False) -> tp.Tuple[jax.Array, tp.List[jax.Array]]:
@@ -251,25 +304,42 @@ class FullScaleDecoder(_DecoderBase):
         deconv = skips[-1]
         deconvs: tp.Dict[int, jax.Array] = {}
         for j in range(D):
-            sc_all = self._block(skips[D - j - 1], W, train)
+            if self.node == "r2":
+                # R2UNet3P quirk: the same-level skip gets a plain conv
+                # while pooled skips get full r2 nodes (1D unet_variants.py)
+                sc_all = ConvBlock(W, self.kernel,
+                                   dtype=self.dtype)(skips[D - j - 1], train)
+            else:
+                sc_all = self._node_block(skips[D - j - 1], W, train)
             for k in range(0, D - j - 1):
                 sc = downsample_pool(skips[k], 2 ** ((D - j) - k - 1), op="max")
-                sc = self._block(sc, W, train)
+                sc = self._node_block(sc, W, train)
                 sc_all = concat(sc_all, sc)
-            tot = self._block(deconv, W, train)
-            tot = upsample(tot, 2, method="bilinear")
+            tot = self._node_block(deconv, W, train)
+            tot = self._resize(tot, 2)
             tot = nn.sigmoid(tot)
             tot = concat(sc_all, tot)
             if j > 0:
                 for m in range(0, j):
                     if self.multires:
-                        d = ResPath(j, W, 3, dtype=self.dtype)(deconvs[m], train)
+                        d = ResPath(j, W, self.kernel,
+                                    dtype=self.dtype)(deconvs[m], train)
+                    elif self.node == "r2":
+                        # reference chains two recurrents but the second
+                        # re-reads deconvs[m], so one contributes; replicate
+                        # the effective single-recurrent residual node
+                        raw = ConvBlock(W, 1, dtype=self.dtype)(deconvs[m],
+                                                                train)
+                        d = RecurrentConvBlock(W, self.kernel, t=self.t,
+                                               dtype=self.dtype)(deconvs[m],
+                                                                 train)
+                        d = raw + d
                     else:
-                        d = self._block(deconvs[m], W, train)
-                    d = upsample(d, 2 ** (j - m), method="bilinear")
+                        d = self._node_block(deconvs[m], W, train)
+                    d = self._resize(d, 2 ** (j - m))
                     tot = concat(tot, nn.sigmoid(d))
             feat = W * D if self.multires else W * (D + 1)
-            deconv = self._block(tot, feat, train)
+            deconv = self._node_block(tot, feat, train)
             deconvs[j] = deconv
             if self.D_S == 1:
                 levels.append(self._ds_head(deconv, D - j, strides=2))
@@ -302,9 +372,9 @@ class SelfChainDecoder(_DecoderBase):
                                        activation="tanh", q=self.q,
                                        dtype=self.dtype)(deconv)
             else:
-                deconv = upsample(deconv, 2, method="bilinear")
+                deconv = self._resize(deconv, 2)
             deconv = (deconv + skip) if self.style == "fpn" else concat(deconv, skip)
-            deconv = Oper(width_j, 3, q=self.q, dtype=self.dtype)(deconv)
+            deconv = Oper(width_j, self.kernel, q=self.q, dtype=self.dtype)(deconv)
             deconv = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                   epsilon=1e-3, dtype=self.dtype,
                                   param_dtype=jnp.float32)(deconv)
@@ -313,7 +383,7 @@ class SelfChainDecoder(_DecoderBase):
         if self.style == "fpn":
             tot = fpn_stages[0]
             for k in range(1, D):
-                tot = upsample(tot, 2, method="bilinear")
+                tot = self._resize(tot, 2)
                 tot = concat(tot, fpn_stages[k])
             return tot, levels
         return deconv, levels
@@ -321,7 +391,11 @@ class SelfChainDecoder(_DecoderBase):
 
 class SelfGridDecoder(_DecoderBase):
     """Self-ONN nested grid (reference ``SelfUNetPP`` :667-710): UNet++
-    topology with Oper blocks + BN + tanh, no attention/LSTM options."""
+    topology with Oper blocks + BN + tanh, no attention/LSTM options.
+    ``bare=True`` drops the BN+tanh after each node Oper (the 1D
+    ``SelfR2UNetPP`` convention)."""
+
+    bare: bool = False
 
     @nn.compact
     def __call__(self, skips: tp.Sequence[jax.Array],
@@ -341,7 +415,7 @@ class SelfGridDecoder(_DecoderBase):
                                            activation="tanh", q=self.q,
                                            dtype=self.dtype)(src)
                 else:
-                    deconv = upsample(src, 2, method="bilinear")
+                    deconv = self._resize(src, 2)
                 if i > 1:
                     tot = deconvs[(j, 1)]
                     for k in range(2, i):
@@ -349,12 +423,13 @@ class SelfGridDecoder(_DecoderBase):
                     deconv = concat(deconv, tot, skips[j])
                 else:
                     deconv = concat(deconv, skips[j])
-                deconv = Oper(width_j, 3, q=self.q, dtype=self.dtype)(deconv)
-                deconv = nn.BatchNorm(use_running_average=not train,
-                                      momentum=0.99, epsilon=1e-3,
-                                      dtype=self.dtype,
-                                      param_dtype=jnp.float32)(deconv)
-                deconv = nn.tanh(deconv)
+                deconv = Oper(width_j, self.kernel, q=self.q, dtype=self.dtype)(deconv)
+                if not self.bare:
+                    deconv = nn.BatchNorm(use_running_average=not train,
+                                          momentum=0.99, epsilon=1e-3,
+                                          dtype=self.dtype,
+                                          param_dtype=jnp.float32)(deconv)
+                    deconv = nn.tanh(deconv)
                 deconvs[(j, i)] = deconv
                 if self.D_S == 1 and j == 0 and i < D:
                     levels.append(Oper(1, 1, q=self.q,
@@ -375,27 +450,32 @@ class SelfFullScaleDecoder(_DecoderBase):
         deconvs: tp.Dict[int, jax.Array] = {}
 
         def oper_bn_tanh(x: jax.Array, feats: int) -> jax.Array:
-            x = Oper(feats, 3, q=self.q, dtype=self.dtype)(x)
+            x = Oper(feats, self.kernel, q=self.q, dtype=self.dtype)(x)
+            if self.dialect == "1d":
+                # 1D SelfUNet3P leaves the skip Opers bare
+                return x
             x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                              epsilon=1e-3, dtype=self.dtype,
                              param_dtype=jnp.float32)(x)
             return nn.tanh(x)
+
+        gate = nn.sigmoid if self.dialect == "1d" else nn.tanh
 
         for j in range(D):
             sc_all = oper_bn_tanh(skips[D - j - 1], W)
             for k in range(0, D - j - 1):
                 sc = downsample_pool(skips[k], 2 ** ((D - j) - k - 1), op="max")
                 sc_all = concat(sc_all, oper_bn_tanh(sc, W))
-            tot = Oper(W, 3, q=self.q, dtype=self.dtype)(deconv)
-            tot = upsample(tot, 2, method="bilinear")
-            tot = nn.tanh(tot)
+            tot = Oper(W, self.kernel, q=self.q, dtype=self.dtype)(deconv)
+            tot = self._resize(tot, 2)
+            tot = gate(tot)
             tot = concat(sc_all, tot)
             if j > 0:
                 for m in range(0, j):
-                    d = Oper(W, 3, q=self.q, dtype=self.dtype)(deconvs[m])
-                    d = upsample(d, 2 ** (j - m), method="bilinear")
-                    tot = concat(tot, nn.tanh(d))
-            deconv = Oper(W * (D + 1), 3, q=self.q, dtype=self.dtype)(tot)
+                    d = Oper(W, self.kernel, q=self.q, dtype=self.dtype)(deconvs[m])
+                    d = self._resize(d, 2 ** (j - m))
+                    tot = concat(tot, gate(d))
+            deconv = Oper(W * (D + 1), self.kernel, q=self.q, dtype=self.dtype)(tot)
             deconvs[j] = deconv
             if self.D_S == 1:
                 levels.append(Oper(1, 1, strides=2, q=self.q,
@@ -407,6 +487,8 @@ class SelfFullScaleDecoder(_DecoderBase):
 #: dispatch (unet_variants.py:936-963, fpn_variants.py:228-233).
 def build_decoder(decoder_name: str, **kw) -> nn.Module:
     name = decoder_name
+    if name in ("MultiResUNet", "MultiResUNet3P", "KSSNet"):
+        kw.setdefault("node", "multires")
     if name == "UNet":
         return ChainDecoder(style="unet", **kw)
     if name == "UNetE":

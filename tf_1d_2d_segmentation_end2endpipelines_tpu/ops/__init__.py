@@ -6,11 +6,15 @@ from .blocks import (  # noqa: F401
     ConvBlock,
     ConvLSTMCell,
     ConvLSTMFusion,
+    ConvMixerBlock,
     DenseBlock,
     DropBlock,
     FeatureExtractionBlock,
+    MixPool,
     MultiResBlock,
+    RecurrentConvBlock,
     ResPath,
+    SelfRecurrentConvBlock,
     SpatialAttention,
     SqueezeExcite,
     TransConv,

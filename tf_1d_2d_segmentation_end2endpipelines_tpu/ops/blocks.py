@@ -298,7 +298,10 @@ class MultiResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         w = self.alpha * self.model_width
-        f1, f2, f3 = int(w * 0.167), int(w * 0.333), int(w * 0.5)
+        # int() truncation as in the reference; clamped to >=1 so tiny test
+        # widths (which crash the reference) still build
+        f1, f2, f3 = (max(int(w * 0.167), 1), max(int(w * 0.333), 1),
+                      max(int(w * 0.5), 1))
         shortcut = ConvBlock(f1 + f2 + f3, 1, dtype=self.dtype)(x, train)
         c3 = ConvBlock(f1, self.kernel, dtype=self.dtype)(x, train)
         c5 = ConvBlock(f2, self.kernel, dtype=self.dtype)(c3, train)
@@ -425,6 +428,110 @@ class DropBlock(nn.Module):
         mask = 1.0 - block
         denom = jnp.mean(mask)
         return x * mask / jnp.maximum(denom, 1e-7)
+
+
+class RecurrentConvBlock(nn.Module):
+    """Recurrent conv block for RUNet/R2UNet variants.
+
+    Reference: ``Recurrent_Conv_Block`` (1DCNN/Models/unet_variants.py:64-73):
+    t iterations of ``x = concat(ConvBlock(x), inputs)`` followed by a final
+    ConvBlock.  The unrolled chain is static, so XLA fuses the concat into
+    the next conv's input gather.
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    t: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        inputs = x
+        for _ in range(self.t):
+            tmp = ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+            x = jnp.concatenate([tmp, inputs], axis=-1)
+        return ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+
+
+class SelfRecurrentConvBlock(nn.Module):
+    """Self-ONN recurrent conv block (reference ``Self_Recurrent_Conv_Block``
+    1DCNN/Models/unet_variants.py:76-85): t iterations of
+    ``x = concat(Oper(x), inputs)`` + final plain ConvBlock."""
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    t: int = 2
+    q: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from .onn import Oper
+        inputs = x
+        for _ in range(self.t):
+            tmp = Oper(self.features, self.kernel, q=self.q, dtype=self.dtype)(x)
+            x = jnp.concatenate([tmp, inputs], axis=-1)
+        return ConvBlock(self.features, self.kernel, dtype=self.dtype)(x, train)
+
+
+class ConvMixerBlock(nn.Module):
+    """ConvMixer block (reference 1DCNN/Models/convmixer_unet.py:6-18):
+    depthwise conv -> gelu -> BN -> residual add -> pointwise conv -> gelu
+    -> BN.  Also covers ``Conv_Block_DW`` (unet_variants.py:87-100)."""
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        n = _spatial_ndim(x)
+        c_in = x.shape[-1]
+        dw = nn.Conv(c_in, _tup(self.kernel, n), feature_group_count=c_in,
+                     padding="SAME", dtype=self.dtype,
+                     param_dtype=jnp.float32)(x)
+        dw = nn.gelu(dw)
+        dw = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, dtype=self.dtype,
+                          param_dtype=jnp.float32)(dw)
+        x = dw + x
+        x = nn.Conv(self.features, _tup(1, n), dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.gelu(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-3, dtype=self.dtype,
+                         param_dtype=jnp.float32)(x)
+        return x
+
+
+class MixPool(nn.Module):
+    """max-pool + avg-pool sum -> 1x1 conv (reference ``mix_pool_layer``,
+    1DCNN/Models/unet_variants.py:146-151 / MLMRSNet.py:57-63)."""
+
+    pool_size: int = 2
+    window: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n = _spatial_ndim(x)
+        w = (1, *(_tup(self.window, n)), 1)
+        s = (1, *(_tup(self.pool_size, n)), 1)
+        mx = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, w, s, "SAME")
+        sm = jax.lax.reduce_window(x, 0.0, jax.lax.add, w, s, "SAME")
+        # TF 'SAME' avg-pool excludes padding from the divisor
+        cnt = jax.lax.reduce_window(jnp.ones_like(x), 0.0, jax.lax.add, w, s,
+                                    "SAME")
+        avg = sm / cnt
+        return nn.Conv(x.shape[-1], _tup(1, n), dtype=self.dtype,
+                       param_dtype=jnp.float32)(mx + avg)
+
+
+def np_prod(t: tuple) -> int:
+    out = 1
+    for v in t:
+        out *= v
+    return out
 
 
 class ConvLSTMCell(nn.Module):
