@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the zoo tests compile ~40 small models; on the
+# single-core CI host recompiling every run would dominate test time
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:  # drop any backend the sitecustomize already initialized
     jax._src.xla_bridge.backends_are_initialized() and jax.clear_backends()
 except Exception:

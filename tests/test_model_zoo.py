@@ -7,9 +7,12 @@ import pytest
 from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
     ARCH_NAMES_1D, SegModel, UNet1D)
 
-DECODERS_2D = ["UNet", "UNetE", "UNetP", "UNetPP", "UNet3P", "UNet4P",
-               "AHNet", "MultiResUNet", "MultiResUNet3P", "KSSNet",
-               "SelfUNet", "SelfUNetPP", "SelfUNet3P"]
+# representative subset runs by default; the full sweep is in
+# test_model_zoo_full.py behind -m slow (single-core CI budget)
+DECODERS_2D = ["UNet", "UNetPP", "UNet3P", "UNet4P", "MultiResUNet",
+               "SelfUNetPP"]
+DECODERS_2D_FULL = ["UNetE", "UNetP", "AHNet", "MultiResUNet3P", "KSSNet",
+                    "SelfUNet", "SelfUNet3P"]
 
 
 def _run(model, x):
@@ -29,7 +32,12 @@ def test_2d_decoder_builds(dec):
         assert out["level1"].shape == (1, 16, 16, 1)
 
 
-@pytest.mark.parametrize("arch", list(ARCH_NAMES_1D))
+ARCHS_1D = ["UNet", "UNetPP", "UNet3P", "MultiResUNet", "R2UNet",
+            "SelfUNetPP", "ConvMixerUNet"]
+ARCHS_1D_FULL = [a for a in ARCH_NAMES_1D if a not in ARCHS_1D]
+
+
+@pytest.mark.parametrize("arch", ARCHS_1D)
 def test_1d_arch_builds(arch):
     x = jnp.ones((1, 32, 1))
     model = getattr(UNet1D(32, 2, 1, 4, 3, ds=1), arch)()

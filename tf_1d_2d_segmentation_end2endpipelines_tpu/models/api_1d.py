@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from ..ops import (
     ConvBlock,
+    ConvMixerBlock,
     FeatureExtractionBlock,
     MultiResBlock,
     Oper,
@@ -66,6 +67,21 @@ _ARCHS: tp.Dict[str, tp.Dict[str, tp.Any]] = {
                            latent="selfrec_q1"),
     "SelfUNetPP":     dict(topo="selfgrid", enc="oper2", latent="oper2"),
     "SelfUNet3P":     dict(topo="selffull", enc="oper2", latent="oper2"),
+    # ConvMixer_UNet topologies (1DCNN/Models/convmixer_unet.py:164-710):
+    # the same wirings with ConvMixer blocks as the conv unit
+    "ConvMixerUNet":      dict(topo="chain", node="convmixer", reps=2,
+                               enc="convmixer", latent="convmixer"),
+    "ConvMixerUNetE":     dict(topo="grid", variant="E", node="convmixer",
+                               reps=2, enc="convmixer", latent="convmixer"),
+    "ConvMixerUNetP":     dict(topo="grid", variant="P", node="convmixer",
+                               reps=2, enc="convmixer", latent="convmixer"),
+    "ConvMixerUNetPP":    dict(topo="grid", variant="PP", node="convmixer",
+                               reps=2, enc="convmixer", latent="convmixer"),
+    "ConvMixerUNet3P":    dict(topo="full", node="convmixer", reps=1,
+                               enc="convmixer", latent="convmixer"),
+    "ConvMixerMultiResUNet": dict(topo="chain", node="multires_mixer",
+                                  reps=1, enc="multires_mixer",
+                                  latent="multires_mixer"),
 }
 
 ARCH_NAMES_1D = tuple(_ARCHS)
@@ -95,11 +111,16 @@ class SegModel1D(nn.Module):
                    respath_len: int, train: bool) -> tp.Tuple[jax.Array, jax.Array]:
         """One encoder level -> (tap, conv_for_pool)."""
         k = self.kernel_size
-        if family == "multires":
+        if family in ("multires", "multires_mixer"):
             conv = MultiResBlock(feats, k, alpha=self.alpha,
+                                 mixer=family == "multires_mixer",
                                  dtype=self.dtype)(x, train)
             tap = ResPath(respath_len, feats, k, dtype=self.dtype)(conv, train)
             return tap, conv
+        if family == "convmixer":
+            conv = ConvMixerBlock(feats, k, dtype=self.dtype)(x, train)
+            conv = ConvMixerBlock(feats, k, dtype=self.dtype)(conv, train)
+            return conv, conv
         if family == "recurrent":
             conv = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
             conv = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(conv, train)
@@ -127,9 +148,13 @@ class SegModel1D(nn.Module):
     def _latent(self, x: jax.Array, family: str, train: bool) -> jax.Array:
         k = self.kernel_size
         feats = self.model_width * (2 ** self.model_depth)
-        if family == "multires":
+        if family in ("multires", "multires_mixer"):
             return MultiResBlock(feats, k, alpha=self.alpha,
+                                 mixer=family == "multires_mixer",
                                  dtype=self.dtype)(x, train)
+        if family == "convmixer":
+            x = ConvMixerBlock(feats, k, dtype=self.dtype)(x, train)
+            return ConvMixerBlock(feats, k, dtype=self.dtype)(x, train)
         if family == "recurrent":
             x = RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
             return RecurrentConvBlock(feats, k, t=self.t, dtype=self.dtype)(x, train)
@@ -243,6 +268,34 @@ class UNet1D:
 
     def _build(self, arch: str) -> SegModel1D:
         return SegModel1D(arch=arch, **self._kw)
+
+
+class ConvMixerUNet:
+    """Facade for the reference ``ConvMixer_UNet`` class
+    (convmixer_unet.py:141-162): methods UNet/UNetE/UNetP/UNetPP/UNet3P/
+    MultiResUNet with ConvMixer conv units."""
+
+    _MAP = {"UNet": "ConvMixerUNet", "UNetE": "ConvMixerUNetE",
+            "UNetP": "ConvMixerUNetP", "UNetPP": "ConvMixerUNetPP",
+            "UNet3P": "ConvMixerUNet3P",
+            "MultiResUNet": "ConvMixerMultiResUNet"}
+
+    def __init__(self, length, model_depth, num_channel, model_width,
+                 kernel_size, problem_type="Regression", output_nums=1,
+                 ds=1, ae=0, ag=0, lstm=0, alpha=1, feature_number=1024,
+                 is_transconv=True, dtype=jnp.float32):
+        self._kw = dict(model_width=model_width, model_depth=model_depth,
+                        kernel_size=kernel_size, problem_type=problem_type,
+                        output_nums=output_nums, ds=ds, ae=ae, ag=ag,
+                        lstm=lstm, alpha=alpha,
+                        feature_number=feature_number,
+                        is_transconv=is_transconv, dtype=dtype)
+
+    def __getattr__(self, name):
+        if name in self._MAP:
+            arch = self._MAP[name]
+            return lambda: SegModel1D(arch=arch, **self._kw)
+        raise AttributeError(name)
 
 
 def _add_methods():

@@ -83,7 +83,16 @@ class _DecoderBase(nn.Module):
     conv_repeats: int = 1
     node: str = "conv"
     dialect: str = "2d"
+    merge: str = "concat"  # 'add' = LinkNet-style add-merge (linknet.py:123)
     dtype: Dtype = jnp.float32
+
+    def _merge(self, *tensors: jax.Array) -> jax.Array:
+        if self.merge == "add":
+            out = tensors[0]
+            for t in tensors[1:]:
+                out = out + t
+            return out
+        return concat(*tensors)
 
     def _up(self, x: jax.Array, features: int, train: bool) -> jax.Array:
         """Upsample one step: transposed conv or resize (reference
@@ -102,8 +111,9 @@ class _DecoderBase(nn.Module):
 
     def _node_block(self, x: jax.Array, features: int, train: bool
                     ) -> jax.Array:
-        if self.node == "multires":
+        if self.node in ("multires", "multires_mixer"):
             return MultiResBlock(features, self.kernel, alpha=self.alpha,
+                                 mixer=self.node == "multires_mixer",
                                  dtype=self.dtype)(x, train)
         if self.node == "recurrent":
             for _ in range(self.conv_repeats):
@@ -171,9 +181,9 @@ class ChainDecoder(_DecoderBase):
                     max(int(W * (2.0 ** (D - j - 2))), 1),
                     dtype=self.dtype)(skip, deconv)
             elif self.style == "fpn":
-                deconv = deconv + skip
+                deconv = skip + deconv
             else:
-                deconv = concat(deconv, skip)
+                deconv = self._merge(deconv, skip)
             if self.style == "kssnet":
                 # sigmoid-gated concats from the bottleneck and every earlier
                 # decoder stage (unet_variants.py:631-638)
@@ -236,7 +246,8 @@ class GridDecoder(_DecoderBase):
                         if self.A_G == 1:
                             tmp = AttentionGate(width_j, dtype=self.dtype)(
                                 tmp, src, train)
-                        deconv_tot = concat(deconv_tot, tmp)
+                        deconv_tot = (deconv_tot + tmp if self.merge == "add"
+                                      else concat(deconv_tot, tmp))
                 # --- skip selection ---
                 if self.variant == "P" and i > 1:
                     raw_skip = deconvs[(j, i - 1)]
@@ -256,9 +267,15 @@ class GridDecoder(_DecoderBase):
                                             dtype=self.dtype)(*parts)
                 else:
                     if deconv_tot is not None:
-                        deconv = concat(deconv, deconv_tot, skip)
+                        if self.merge == "add":
+                            # LinkNet grids add skip + dense-acc + upsample
+                            # (linknet.py LinkNetPP wiring)
+                            deconv = skip + deconv_tot + deconv
+                        else:
+                            deconv = concat(deconv, deconv_tot, skip)
                     else:
-                        deconv = concat(deconv, skip)
+                        deconv = self._merge(skip, deconv) \
+                            if self.merge == "add" else concat(deconv, skip)
                 # --- inter-decoder sigmoid skip paths (4P/AH) ---
                 if (has_skip_paths and i > 1 and (i + j) == D
                         and j != (D - 1)):

@@ -293,19 +293,22 @@ class MultiResBlock(nn.Module):
     model_width: int
     kernel: tp.Union[int, tuple] = 3
     alpha: float = 1.0
+    mixer: bool = False  # ConvMixer blocks as the conv unit (convmixer_unet.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        Block = (lambda f, k: ConvMixerBlock(f, k, dtype=self.dtype)) if self.mixer \
+            else (lambda f, k: ConvBlock(f, k, dtype=self.dtype))
         w = self.alpha * self.model_width
         # int() truncation as in the reference; clamped to >=1 so tiny test
         # widths (which crash the reference) still build
         f1, f2, f3 = (max(int(w * 0.167), 1), max(int(w * 0.333), 1),
                       max(int(w * 0.5), 1))
-        shortcut = ConvBlock(f1 + f2 + f3, 1, dtype=self.dtype)(x, train)
-        c3 = ConvBlock(f1, self.kernel, dtype=self.dtype)(x, train)
-        c5 = ConvBlock(f2, self.kernel, dtype=self.dtype)(c3, train)
-        c7 = ConvBlock(f3, self.kernel, dtype=self.dtype)(c5, train)
+        shortcut = Block(f1 + f2 + f3, 1)(x, train)
+        c3 = Block(f1, self.kernel)(x, train)
+        c5 = Block(f2, self.kernel)(c3, train)
+        c7 = Block(f3, self.kernel)(c5, train)
         out = jnp.concatenate([c3, c5, c7], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
