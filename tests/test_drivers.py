@@ -1,0 +1,65 @@
+"""End-to-end driver test: INI config -> fold training -> checkpoint ->
+test driver -> metric report (the reference's Train.py/Test.py round trip,
+on a tiny on-disk synthetic dataset)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import test as run_test
+from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import train as run_train
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+    TrainConfig, load_train_config, save_train_config)
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import \
+    TestConfig as EvalConfig  # alias: pytest must not collect it
+
+
+def _write_dataset(root, n=6, size=32):
+    rng = np.random.default_rng(0)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n):
+        img = (rng.uniform(0, 255, (size, size, 3))).astype(np.uint8)
+        msk = np.zeros((size, size), np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i}.png"))
+        Image.fromarray(msk).save(os.path.join(root, "masks", f"{i}.png"))
+
+
+def test_train_and_test_drivers(tmp_path):
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"))
+    _write_dataset(str(data / "Val"), n=2)
+    _write_dataset(str(data / "Test"), n=2)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), val_dir=str(data / "Val"),
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", model_genre="UNet",
+        batch_size=2, num_epochs=2, learning_rate=1e-3,
+        loss_function="BCEDiceLoss", metric_list=("BinaryAccuracy",),
+        monitor_param="val_loss", save_dir=str(tmp_path / "Results"),
+        start_fold=1, end_fold=1, save_history=True, load_weights=False,
+    )
+    ini = tmp_path / "Train_Configs.ini"
+    save_train_config(cfg, str(ini))
+    cfg2 = load_train_config(str(ini))  # INI round-trip
+    assert cfg2.model_width == 4 and cfg2.loss_function == "BCEDiceLoss"
+
+    hist = run_train(config=cfg2)
+    assert 1 in hist and len(hist[1]["loss"]) == 2
+    assert os.path.isdir(os.path.join(cfg.save_dir, "Fold_1", "best"))
+    assert os.path.exists(os.path.join(cfg.save_dir, "Fold_1",
+                                       "history.png"))
+
+    tcfg = EvalConfig(
+        test_dir=str(data / "Test"), imheight=32, imwidth=32,
+        decoder_name="UNet", class_number=1, threshold=0.5,
+        start_fold=1, end_fold=1, save_dir=str(tmp_path / "Results"))
+    reports = run_test(config=tcfg, train_config=cfg2)
+    rep = reports[1]
+    assert rep["per_class"].shape == (2, 7)
+    assert 0 <= rep["overall_accuracy"] <= 100
+    results_dir = os.path.join(cfg.save_dir, "test_results", "fold_1")
+    assert os.path.exists(os.path.join(results_dir, "confusion_matrix.png"))
+    assert os.path.exists(os.path.join(results_dir, "masks", "pred_0.png"))

@@ -1,0 +1,193 @@
+"""File-based input pipeline (replaces reference ``CustomDataGenerator``,
+utils/DataGenerator.py:7-114, and the bulk loader ``get_datasets``,
+helper_functions.py:231-260).
+
+Differences from the reference (TPU-first):
+- batches are materialized as contiguous numpy arrays and handed to
+  ``parallel.shard_batch`` for a single host->HBM transfer, instead of
+  per-image PIL decode inside the training step's critical path
+- decode/resize runs in a background thread pool, double-buffered, so the
+  accelerator never waits on PIL (the reference's loader is synchronous)
+- the deep-supervision label pyramid is built on-device
+  (``data.prepare_train_dict``) rather than per-batch in Python
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import typing as tp
+
+import numpy as np
+
+from .patch import create_patches
+
+
+def _list_images(directory: str) -> tp.List[str]:
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+    return sorted(
+        os.path.join(directory, f) for f in os.listdir(directory)
+        if f.lower().endswith(exts))
+
+
+def load_image(path: str, size: tp.Tuple[int, int], color_mode: str,
+               resample: str = "lanczos") -> np.ndarray:
+    """PIL load + resize (lanczos for images, nearest for masks -- the
+    reference's choices, DataGenerator.py:68-77)."""
+    from PIL import Image
+    img = Image.open(path)
+    img = img.convert("L" if color_mode == "grayscale" else "RGB")
+    if img.size != (size[1], size[0]):
+        method = Image.LANCZOS if resample == "lanczos" else Image.NEAREST
+        img = img.resize((size[1], size[0]), method)
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
+
+
+class SegmentationFolderDataset:
+    """Paired image/mask folder dataset with the reference's layout
+    (``{dir}/images``, ``{dir}/masks`` or flat dirs ``img``/``msk``)."""
+
+    def __init__(self, directory: str, image_size: tp.Tuple[int, int],
+                 image_color_mode: str = "rgb",
+                 mask_color_mode: str = "grayscale",
+                 normalizing_factor_img: float = 255.0,
+                 normalizing_factor_msk: float = 255.0):
+        cands = [(os.path.join(directory, "images"),
+                  os.path.join(directory, "masks")),
+                 (os.path.join(directory, "img"),
+                  os.path.join(directory, "msk"))]
+        for img_dir, msk_dir in cands:
+            if os.path.isdir(img_dir) and os.path.isdir(msk_dir):
+                break
+        else:
+            raise FileNotFoundError(
+                f"no images/masks (or img/msk) subdirs under {directory}")
+        self.image_paths = _list_images(img_dir)
+        self.mask_paths = _list_images(msk_dir)
+        assert len(self.image_paths) == len(self.mask_paths), (
+            "image/mask count mismatch")  # DataGenerator.py:31
+        self.image_size = image_size
+        self.image_color_mode = image_color_mode
+        self.mask_color_mode = mask_color_mode
+        self.nf_img = normalizing_factor_img
+        self.nf_msk = normalizing_factor_msk
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def load_pair(self, idx: int) -> tp.Tuple[np.ndarray, np.ndarray]:
+        img = load_image(self.image_paths[idx], self.image_size,
+                         self.image_color_mode, "lanczos") / self.nf_img
+        msk = load_image(self.mask_paths[idx], self.image_size,
+                         self.mask_color_mode, "nearest") / self.nf_msk
+        return img, msk
+
+
+class PrefetchLoader:
+    """Threaded, double-buffered batch loader.
+
+    ``__call__`` returns a fresh epoch iterator (the Trainer's BatchIter
+    contract).  Decoding the NEXT batch overlaps with device compute on the
+    current one.
+    """
+
+    def __init__(self, dataset: SegmentationFolderDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 1,
+                 patchify: bool = False,
+                 patch_shape: tp.Tuple[int, int] = (64, 64),
+                 overlap_ratio: float = 0.0,
+                 num_workers: int = 4,
+                 drop_remainder: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.patchify = patchify
+        self.patch_shape = patch_shape
+        self.overlap_ratio = overlap_ratio
+        self.num_workers = num_workers
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def _make_batch(self, idxs: np.ndarray
+                    ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        imgs, msks = [], []
+        for i in idxs:
+            img, msk = self.ds.load_pair(int(i))
+            if self.patchify:
+                ip, _ = create_patches(img, self.patch_shape,
+                                       self.overlap_ratio)
+                mp, _ = create_patches(msk, self.patch_shape,
+                                       self.overlap_ratio)
+                imgs.append(ip)
+                msks.append(mp)
+            else:
+                imgs.append(img[None])
+                msks.append(msk[None])
+        return np.concatenate(imgs, 0), np.concatenate(msks, 0)
+
+    def __call__(self):
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        self._epoch += 1
+        stop = n - (n % self.batch_size) if self.drop_remainder else n
+        batches = [idx[s:s + self.batch_size]
+                   for s in range(0, stop, self.batch_size)]
+        if not batches:
+            return
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            pending = pool.submit(self._make_batch, batches[0])
+            for nxt in batches[1:]:
+                ready = pending.result()
+                pending = pool.submit(self._make_batch, nxt)
+                yield ready
+            yield pending.result()
+
+
+def create_folds(image_dir: str, mask_dir: str, out_dir: str,
+                 num_folds: int = 5, test_portion: float = 0.2,
+                 val_portion: float = 0.1, seed: int = 1) -> None:
+    """Random train/test/val split into ``Data/{Train,Test,Val}/fold_i``
+    (reference ``create_folds``, helper_functions.py:443-477)."""
+    import shutil
+    imgs = _list_images(image_dir)
+    msks = _list_images(mask_dir)
+    assert len(imgs) == len(msks)
+    rng = np.random.default_rng(seed)
+    for fold in range(1, num_folds + 1):
+        order = rng.permutation(len(imgs))
+        n_test = int(len(imgs) * test_portion)
+        n_val = int(len(imgs) * val_portion)
+        splits = {
+            "Test": order[:n_test],
+            "Val": order[n_test:n_test + n_val],
+            "Train": order[n_test + n_val:],
+        }
+        for split, sel in splits.items():
+            for sub, paths in (("images", imgs), ("masks", msks)):
+                dst = os.path.join(out_dir, split, f"fold_{fold}", sub)
+                os.makedirs(dst, exist_ok=True)
+                for i in sel:
+                    shutil.copy2(paths[i], dst)
+
+
+def augment_pair(img: np.ndarray, msk: np.ndarray, rng: np.random.Generator
+                 ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Geometric + photometric augmentation (capability parity with the
+    reference's albumentations pipeline, helper_functions.py:480-501;
+    albumentations is not in this image, so pure-numpy equivalents)."""
+    if rng.random() < 0.5:
+        img, msk = img[:, ::-1], msk[:, ::-1]
+    if rng.random() < 0.5:
+        img, msk = img[::-1], msk[::-1]
+    k = int(rng.integers(0, 4))
+    if k and img.shape[0] == img.shape[1]:
+        img, msk = np.rot90(img, k), np.rot90(msk, k)
+    if rng.random() < 0.3:
+        img = np.clip(img * rng.uniform(0.8, 1.2)
+                      + rng.uniform(-0.05, 0.05), 0.0, 1.0)
+    return np.ascontiguousarray(img), np.ascontiguousarray(msk)

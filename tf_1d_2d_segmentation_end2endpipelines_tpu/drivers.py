@@ -1,0 +1,289 @@
+"""Train / Test drivers (the framework's L6).
+
+Functional equivalents of the reference's entry scripts:
+- ``train``: 2DCNN/Train.py:1-439 -- fold loop: config -> model -> loader
+  -> compiled train/eval steps -> callbacks -> best-checkpoint -> history
+  (json + plots)
+- ``test``: 2DCNN/Test.py:1-396 -- fold loop: restore checkpoint -> batch
+  prediction (whole-image or patchify), threshold, save masks, confusion
+  matrix + per-class metric report + figures + spreadsheet
+
+Differences (TPU-first): inference runs batched through one jitted predict
+step (the reference calls model.predict per image, Test.py:161); metrics
+accumulate on device; checkpoints are orbax trees instead of .keras files;
+the multiclass path works (the reference's crashes, Test.py:173).
+"""
+from __future__ import annotations
+
+import json
+import os
+import typing as tp
+
+import jax.numpy as jnp
+import numpy as np
+
+from .data.generators import PrefetchLoader, SegmentationFolderDataset
+from .data.patch import create_patches, unpatchify
+from .data.pyramid import prepare_train_dict
+from .eval import (
+    confusion_matrix_update,
+    evaluation_table,
+    export_results_sheet,
+    init_confusion_matrix,
+    plot_conf_mat,
+    plot_history,
+    plot_multiclass_precision_recall_curves,
+    plot_multiclass_roc,
+)
+from .models import model_selector
+from .train import (
+    CheckpointManager,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    Trainer,
+    default_ds_weights,
+)
+from .utils.config import TestConfig, TrainConfig, load_test_config, load_train_config
+
+
+def _build_model(cfg: TrainConfig, dtype=jnp.float32):
+    return model_selector(
+        model_genre=cfg.model_genre,
+        encoder_name=cfg.encoder_name,
+        decoder_name=cfg.decoder_name,
+        length=cfg.imlength,
+        width=cfg.imwidth,
+        model_width=cfg.model_width,
+        model_depth=cfg.model_depth,
+        num_channels=cfg.num_channels,
+        output_nums=cfg.output_nums,
+        ds=cfg.d_s, ae=cfg.a_e, ag=cfg.a_g, lstm=cfg.lstm,
+        dense_loop=cfg.dense_loop,
+        feature_number=cfg.feature_number,
+        is_transconv=cfg.is_transconv,
+        alpha=cfg.alpha, q=cfg.q_onn,
+        final_activation=cfg.final_activation,
+        train_mode=cfg.train_mode,
+        is_base_model_trainable=cfg.encoder_trainable,
+        dtype=dtype,
+    )
+
+
+def _fold_dir(cfg, fold: int) -> str:
+    task = "" if cfg.save_dir is None else cfg.save_dir
+    return os.path.join(task, f"Fold_{fold}")
+
+
+def _wrap_targets(y: np.ndarray, cfg: TrainConfig):
+    if cfg.d_s == 1:
+        return {k: np.asarray(v) for k, v in prepare_train_dict(
+            jnp.asarray(y), cfg.model_depth, cfg.ds_type).items()}
+    return y
+
+
+def train(config_path: str = "Train_Configs.ini",
+          config: tp.Optional[TrainConfig] = None,
+          dtype=jnp.float32) -> tp.Dict[int, tp.Dict[str, tp.List[float]]]:
+    """Fold-loop training driver.  Returns {fold: history}."""
+    cfg = config if config is not None else load_train_config(config_path)
+    histories: tp.Dict[int, tp.Dict[str, tp.List[float]]] = {}
+    for fold in range(cfg.start_fold, cfg.end_fold + 1):
+        model = _build_model(cfg, dtype=dtype)
+        size = (cfg.imlength, cfg.imwidth)
+        train_ds = SegmentationFolderDataset(
+            os.path.join(cfg.train_dir, f"fold_{fold}")
+            if os.path.isdir(os.path.join(cfg.train_dir, f"fold_{fold}"))
+            else cfg.train_dir,
+            size, cfg.image_color_mode, cfg.mask_color_mode,
+            cfg.normalizing_factor_img, cfg.normalizing_factor_msk)
+        loader = PrefetchLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            patchify=cfg.patchify,
+            patch_shape=(cfg.patch_width, cfg.patch_height),
+            overlap_ratio=cfg.overlap_ratio)
+        val_loader = None
+        if cfg.independent_val_set and os.path.isdir(cfg.val_dir):
+            val_dir = (os.path.join(cfg.val_dir, f"fold_{fold}")
+                       if os.path.isdir(os.path.join(cfg.val_dir,
+                                                     f"fold_{fold}"))
+                       else cfg.val_dir)
+            val_ds = SegmentationFolderDataset(
+                val_dir, size, cfg.image_color_mode, cfg.mask_color_mode,
+                cfg.normalizing_factor_img, cfg.normalizing_factor_msk)
+            raw_val = PrefetchLoader(val_ds, cfg.batch_size, shuffle=False,
+                                     patchify=cfg.patchify,
+                                     patch_shape=(cfg.patch_width,
+                                                  cfg.patch_height),
+                                     overlap_ratio=cfg.overlap_ratio)
+
+            def val_loader():
+                for x, y in raw_val():
+                    yield x, _wrap_targets(y, cfg)
+
+        def train_iter():
+            for x, y in loader():
+                yield x, _wrap_targets(y, cfg)
+
+        loss_weights = (default_ds_weights(cfg.model_depth)
+                        if cfg.d_s == 1 else None)
+        trainer = Trainer(
+            model,
+            loss=cfg.loss_function,
+            optimizer=cfg.optimizer_function,
+            learning_rate=cfg.learning_rate,
+            metrics=tuple(cfg.metric_list),
+            loss_weights=loss_weights,
+            num_classes=max(cfg.class_number + 1, 2),
+            seed=cfg.seed,
+        )
+        sample = np.zeros((1, cfg.imlength if not cfg.patchify
+                           else cfg.patch_width,
+                           cfg.imwidth if not cfg.patchify
+                           else cfg.patch_height,
+                           cfg.num_channels), np.float32)
+        trainer.init_state(sample)
+        ckpt_dir = _fold_dir(cfg, fold)
+        ckpt = CheckpointManager(ckpt_dir)
+        if cfg.load_weights and ckpt.exists("best"):
+            # resume (Train.py:361-369)
+            trainer.state = ckpt.restore(trainer.state, "best")
+            print(f"Fold {fold}: resumed from {ckpt_dir}/best", flush=True)
+        monitor = cfg.monitor_param
+        if monitor.startswith("val_") and val_loader is None:
+            monitor = monitor[len("val_"):] or "loss"
+        history = trainer.fit(
+            train_iter,
+            val_data=val_loader,
+            epochs=cfg.num_epochs,
+            callbacks=[
+                EarlyStopping(monitor=monitor,
+                              patience=cfg.patience_amount,
+                              mode=cfg.patience_mode),
+                ReduceLROnPlateau(monitor=monitor,
+                                  factor=cfg.rlronp_factor,
+                                  patience=cfg.patience_amount_rlronp,
+                                  mode=cfg.patience_mode),
+            ],
+            checkpoint=ckpt,
+            monitor=monitor,
+        )
+        histories[fold] = history
+        if cfg.save_history:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            with open(os.path.join(ckpt_dir, "history.json"), "w") as f:
+                json.dump(history, f)
+            metric = cfg.metric_list[0] if cfg.metric_list else None
+            plot_history(history, os.path.join(ckpt_dir, "history.png"),
+                         metric_name=metric)
+    return histories
+
+
+def test(config_path: str = "Test_Configs.ini",
+         config: tp.Optional[TestConfig] = None,
+         train_config: tp.Optional[TrainConfig] = None,
+         dtype=jnp.float32) -> tp.Dict[int, tp.Dict[str, tp.Any]]:
+    """Fold-loop evaluation driver.  Returns {fold: report dict}."""
+    cfg = config if config is not None else load_test_config(config_path)
+    tcfg = train_config or TrainConfig(
+        imlength=cfg.imheight, imwidth=cfg.imwidth,
+        num_channels=cfg.num_channels,
+        encoder_mode=cfg.encoder_mode, encoder_name=cfg.encoder_name,
+        decoder_name=cfg.decoder_name, d_s=cfg.d_s,
+        output_nums=max(cfg.class_number, 1),
+        save_dir=cfg.save_dir)
+    labels = list(cfg.labels) or [f"class_{i}"
+                                  for i in range(cfg.class_number + 1)]
+    n_classes = len(labels)
+    reports: tp.Dict[int, tp.Dict[str, tp.Any]] = {}
+    cm_total = np.zeros((n_classes, n_classes))
+    for fold in range(cfg.start_fold, cfg.end_fold + 1):
+        model = _build_model(tcfg, dtype=dtype)
+        trainer = Trainer(model)
+        sample = np.zeros((1, cfg.imheight if not cfg.patchify
+                           else cfg.patch_width,
+                           cfg.imwidth if not cfg.patchify
+                           else cfg.patch_height,
+                           cfg.num_channels), np.float32)
+        trainer.init_state(sample)
+        ckpt = CheckpointManager(_fold_dir(tcfg, fold))
+        if ckpt.exists("best"):
+            trainer.state = ckpt.restore(trainer.state, "best")
+        test_root = (os.path.join(cfg.test_dir, f"fold_{fold}")
+                     if os.path.isdir(os.path.join(cfg.test_dir,
+                                                   f"fold_{fold}"))
+                     else cfg.test_dir)
+        ds = SegmentationFolderDataset(
+            test_root, (cfg.imheight, cfg.imwidth), cfg.image_color_mode,
+            cfg.mask_color_mode, cfg.normalizing_factor_img,
+            cfg.normalizing_factor_msk)
+        results_dir = os.path.join(tcfg.save_dir or ".", "test_results",
+                                   f"fold_{fold}")
+        os.makedirs(os.path.join(results_dir, "masks"), exist_ok=True)
+        cm = init_confusion_matrix(n_classes)
+        y_true_all, y_pred_all = [], []
+        for idx in range(len(ds)):
+            img, msk = ds.load_pair(idx)
+            if cfg.patchify:
+                patches, _ = create_patches(
+                    img, (cfg.patch_width, cfg.patch_height),
+                    cfg.overlap_ratio)
+                pred = trainer.predict(patches)["out"]
+                pred = unpatchify(np.asarray(pred),
+                                  (cfg.imheight, cfg.imwidth),
+                                  cfg.overlap_ratio)
+            else:
+                pred = np.asarray(trainer.predict(img[None])["out"][0])
+            if cfg.class_number <= 1:
+                pred_lbl = (pred[..., 0] > cfg.threshold).astype(np.int32)
+                true_lbl = (msk[..., 0] > cfg.threshold).astype(np.int32)
+            else:
+                pred_lbl = np.argmax(pred, axis=-1).astype(np.int32)
+                true_lbl = msk[..., 0].astype(np.int32)
+            cm = confusion_matrix_update(cm, jnp.asarray(true_lbl),
+                                         jnp.asarray(pred_lbl))
+            y_true_all.append(true_lbl.ravel())
+            y_pred_all.append(pred_lbl.ravel())
+            try:
+                from PIL import Image
+                Image.fromarray((pred_lbl * (255 // max(n_classes - 1, 1))
+                                 ).astype(np.uint8)).save(
+                    os.path.join(results_dir, "masks", f"pred_{idx}.png"))
+            except Exception:
+                pass
+        cm_np = np.asarray(cm)
+        cm_total += cm_np
+        report = evaluation_table(cm_np, labels)
+        reports[fold] = report
+        yt = np.concatenate(y_true_all)
+        yp = np.concatenate(y_pred_all)
+        plot_conf_mat(cm_np, labels,
+                      os.path.join(results_dir, "confusion_matrix.png"))
+        plot_multiclass_roc(yt, yp, n_classes,
+                            os.path.join(results_dir, "roc.png"))
+        plot_multiclass_precision_recall_curves(
+            yt, yp, n_classes, os.path.join(results_dir, "prc.png"))
+        export_results_sheet(report,
+                             os.path.join(results_dir, "results.xlsx"))
+        print(f"Fold {fold}: overall accuracy "
+              f"{report['overall_accuracy']:.2f}%", flush=True)
+    reports["cumulative"] = evaluation_table(cm_total, labels)
+    return reports
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    import argparse
+    parser = argparse.ArgumentParser(prog="tpuseg")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p_train = sub.add_parser("train")
+    p_train.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_test = sub.add_parser("test")
+    p_test.add_argument("config", nargs="?", default="Test_Configs.ini")
+    args = parser.parse_args(argv)
+    if args.cmd == "train":
+        train(args.config)
+    else:
+        test(args.config)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,13 @@ class Trainer:
             self._predict_step = jax.jit(make_predict_step(self.model))
             self._rep_sharding = rep
 
+    def _ensure_state_placement(self):
+        """Replicate the state over the mesh (restored checkpoints arrive
+        committed to a single device, which conflicts with sharded
+        batches)."""
+        import jax as _jax
+        self.state = _jax.device_put(self.state, replicated(self.mesh))
+
     def _metric_init(self):
         return tuple(m.init() for m in self.metric_defs)
 
@@ -100,6 +107,7 @@ class Trainer:
     ) -> tp.Dict[str, tp.List[float]]:
         assert self.state is not None, "call init_state(sample) first"
         self._build_steps()
+        self._ensure_state_placement()
         early = next((c for c in callbacks if isinstance(c, EarlyStopping)),
                      None)
         rlrop = next((c for c in callbacks
@@ -163,6 +171,7 @@ class Trainer:
     def evaluate(self, data: BatchIter) -> tp.Dict[str, float]:
         assert self.state is not None
         self._build_steps()
+        self._ensure_state_placement()
         mstates = self._metric_init()
         losses = []
         for x, y in data():
@@ -178,6 +187,7 @@ class Trainer:
     def predict(self, x: np.ndarray) -> tp.Dict[str, np.ndarray]:
         assert self.state is not None
         self._build_steps()
+        self._ensure_state_placement()
         xb = shard_batch(self.mesh, np.asarray(x))
         out = self._predict_step(self.state, xb)
         return jax.tree.map(np.asarray, jax.device_get(out))
