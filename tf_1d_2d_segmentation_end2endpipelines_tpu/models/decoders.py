@@ -171,7 +171,7 @@ class ChainDecoder(_DecoderBase):
             width_j = W * (2 ** (D - j - 1))
             skip = skips[D - j - 1]
             if self.A_G == 1:
-                skip = AttentionGate(W * (2 ** (D - j - 1)),
+                skip = AttentionGate(W * (2 ** (D - j - 1)), dialect=self.dialect,
                                      dtype=self.dtype)(skips[D - j - 1], deconv, train)
             if self.D_S == 1:
                 levels.append(self._ds_head(deconv, D - j))
@@ -239,12 +239,12 @@ class GridDecoder(_DecoderBase):
                 if dense and i > 1:
                     deconv_tot = deconvs[(j, 1)]
                     if self.A_G == 1:
-                        deconv_tot = AttentionGate(width_j, dtype=self.dtype)(
+                        deconv_tot = AttentionGate(width_j, dialect=self.dialect, dtype=self.dtype)(
                             deconv_tot, src, train)
                     for k in range(2, i):
                         tmp = deconvs[(j, k)]
                         if self.A_G == 1:
-                            tmp = AttentionGate(width_j, dtype=self.dtype)(
+                            tmp = AttentionGate(width_j, dialect=self.dialect, dtype=self.dtype)(
                                 tmp, src, train)
                         deconv_tot = (deconv_tot + tmp if self.merge == "add"
                                       else concat(deconv_tot, tmp))
@@ -255,7 +255,7 @@ class GridDecoder(_DecoderBase):
                     raw_skip = skips[j]
                 skip = raw_skip
                 if self.A_G == 1:
-                    skip = AttentionGate(width_j, dtype=self.dtype)(
+                    skip = AttentionGate(width_j, dialect=self.dialect, dtype=self.dtype)(
                         raw_skip, src, train)
                 # --- upsample + merge ---
                 deconv = self._up(src, width_j, train)

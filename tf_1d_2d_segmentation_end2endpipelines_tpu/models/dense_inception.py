@@ -157,7 +157,7 @@ class DenseInceptionUNetModel(nn.Module):
             f = W * 2 ** (layer_num - 1)
             skip = taps[layer_num - 1]
             if self.ag == 1:
-                skip = AttentionGate(f, dtype=self.dtype)(
+                skip = AttentionGate(f, dialect="1d", dtype=self.dtype)(
                     taps[layer_num - 1], deconv, train)
             if self.ds == 1:
                 levels.append(nn.Conv(1, (1,), dtype=self.dtype,

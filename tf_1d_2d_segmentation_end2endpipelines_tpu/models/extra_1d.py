@@ -101,7 +101,7 @@ class TernausNetModel(nn.Module):
             mult = self._MULTS[4 - j]
             skip = taps[4 - j]
             if self.ag == 1:
-                skip = AttentionGate(W * mult, dtype=self.dtype)(
+                skip = AttentionGate(W * mult, dialect="1d", dtype=self.dtype)(
                     taps[4 - j], deconv, train)
             deconv = ConvBlock(W * mult, 3, dtype=self.dtype)(deconv, train)
             deconv = ConvBlock(W * mult, 3, dtype=self.dtype)(deconv, train)
@@ -237,7 +237,7 @@ class AlbUNetModel(nn.Module):
                                          (x1, F * 2)]):
             skip = ConvBlock(f, 1, dtype=self.dtype)(skip, train)
             if self.ag == 1:
-                skip = AttentionGate(f, dtype=self.dtype)(skip, decode, train)
+                skip = AttentionGate(f, dialect="1d", dtype=self.dtype)(skip, decode, train)
             decode = concat(decode, skip)
             if self.ds == 1:
                 levels.append(nn.Conv(1, (1,), dtype=self.dtype,
@@ -418,7 +418,7 @@ class FPN1DModel(nn.Module):
             f = W * 2 ** (D - j - 1)
             skip = laterals[D - j - 1]
             if self.ag == 1:
-                skip = AttentionGate(f, dtype=self.dtype)(
+                skip = AttentionGate(f, dialect="1d", dtype=self.dtype)(
                     laterals[D - j - 1], deconv, train)
             if self.ds == 1:
                 levels.append(nn.Conv(1, (1,), dtype=self.dtype,

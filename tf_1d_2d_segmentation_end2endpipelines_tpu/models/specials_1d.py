@@ -182,7 +182,7 @@ class BCDUNet(_Special1DBase):
             feats = W * 2 ** (D - j - 1)
             skip = taps[D - j - 1]
             if self.ag == 1:
-                skip = AttentionGate(feats, dtype=self.dtype)(
+                skip = AttentionGate(feats, dialect="1d", dtype=self.dtype)(
                     taps[D - j - 1], deconv, train)
             if self.ds == 1:
                 levels.append(self._ds(deconv, D - j))
@@ -226,7 +226,7 @@ class SEDUNet(_Special1DBase):
             feats = W * 2 ** (D - j - 1)
             skip = taps[D - j - 1]
             if self.ag == 1:
-                skip = AttentionGate(feats, dtype=self.dtype)(
+                skip = AttentionGate(feats, dialect="1d", dtype=self.dtype)(
                     taps[D - j - 1], deconv, train)
             if self.ds == 1:
                 levels.append(self._ds(deconv, D - j))

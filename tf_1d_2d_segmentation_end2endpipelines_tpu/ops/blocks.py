@@ -135,6 +135,7 @@ class TransConv(nn.Module):
             kernel_size=_tup(self.kernel, n),
             strides=_tup(self.strides, n),
             padding="SAME",
+            transpose_kernel=True,  # Keras Conv*DTranspose semantics/layout
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
@@ -253,9 +254,13 @@ class AttentionGate(nn.Module):
     1x1->BN->sigmoid, resampled back up by (bilinear upsample + 1-filter
     transposed conv) sum, then multiplied into the skip.
     Output channels == skip channels; ``features = num_filters * multiplier``.
+    ``dialect='1d'`` switches the resampler to the 1D tree's conventions
+    (nearest upsample + 2-wide BN+relu transposed conv,
+    1DCNN/Models/unet_variants.py:165-167).
     """
 
     features: int
+    dialect: str = "2d"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -278,8 +283,13 @@ class AttentionGate(nn.Module):
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(c)
         c = nn.sigmoid(c)
-        r1 = upsample(c, 2, method="bilinear")
-        r2 = TransConv(1, dtype=self.dtype)(c, train)
+        if self.dialect == "1d":
+            r1 = upsample(c, 2, method="nearest")
+            r2 = TransConv(1, kernel=2, use_bn=True, activation="relu",
+                           dtype=self.dtype)(c, train)
+        else:
+            r1 = upsample(c, 2, method="bilinear")
+            r2 = TransConv(1, dtype=self.dtype)(c, train)
         return skip * (r1 + r2)
 
 

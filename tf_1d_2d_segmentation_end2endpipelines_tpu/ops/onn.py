@@ -86,6 +86,7 @@ class OperTranspose(nn.Module):
             kernel_size=_tup(self.kernel, n),
             strides=_tup(self.strides, n),
             padding="SAME",
+            transpose_kernel=True,  # Keras Conv*DTranspose semantics/layout
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="onn_trans_conv",

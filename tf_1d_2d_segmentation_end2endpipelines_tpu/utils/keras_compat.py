@@ -1,0 +1,210 @@
+"""Keras <-> Flax weight conversion for parity fixtures and pretrained
+encoders.
+
+Both this framework and the reference build their graphs in the same call
+sequence (the decoders replicate the reference's layer-call order), so a
+weight mapping by *call order* is well-defined:
+
+- the Flax side records leaf-module creation order by intercepting module
+  ``__call__``s during ``init`` (``flax_call_order``)
+- the Keras side streams ``model.layers`` (functional-API creation order)
+  keeping only weighted layers (``keras_weight_stream``)
+- ``convert_keras_weights`` zips the two streams, checking that the layer
+  kinds agree at every position (a structural self-test), and emits a Flax
+  ``variables`` tree
+
+Per-kind conversions:
+- Conv/Dense: direct copy (layouts agree)
+- ConvTranspose: direct copy -- our ``TransConv`` uses
+  ``transpose_kernel=True`` which matches Keras's gradient-of-conv
+  semantics and (k.., out, in) kernel layout (verified < 2e-7)
+- BatchNorm: gamma/beta -> scale/bias; moving stats -> batch_stats
+- ConvLSTM: the recurrent kernel is dropped -- the reference only ever
+  applies ConvLSTM to a length-1 synthetic time axis from a zero state
+  (SURVEY.md §7 "hard parts"), where it contributes nothing (verified
+  < 9e-8)
+- Oper (Self-ONN): the q per-power Conv kernels concatenate along the
+  input-channel axis of our single fused conv; biases sum
+- DepthwiseConv: (k, C, 1) -> (k, 1, C) for feature_group_count=C
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class _Leaf(tp.NamedTuple):
+    path: tp.Tuple[str, ...]
+    kind: str
+
+
+def _flax_kind(mod) -> tp.Optional[str]:
+    name = mod.name or ""
+    if isinstance(mod, nn.ConvTranspose):
+        return "operT" if name == "onn_trans_conv" else "convT"
+    if isinstance(mod, nn.Conv):
+        if name == "onn_conv":
+            return "oper"
+        if name == "input_conv":
+            return "convlstm"
+        if getattr(mod, "feature_group_count", 1) > 1:
+            return "dwconv"
+        return "conv"
+    if isinstance(mod, nn.Dense):
+        return "dense"
+    if isinstance(mod, nn.BatchNorm):
+        return "bn"
+    return None
+
+
+def flax_call_order(model, sample: jax.Array, **apply_kwargs
+                    ) -> tp.List[_Leaf]:
+    """Leaf parameterized modules in creation (call) order."""
+    order: tp.List[_Leaf] = []
+    seen = set()
+
+    def interceptor(next_fn, args, kwargs, context):
+        mod = context.module
+        kind = _flax_kind(mod)
+        if kind is not None and context.method_name == "__call__":
+            path = tuple(mod.scope.path)
+            if path not in seen:
+                seen.add(path)
+                order.append(_Leaf(path, kind))
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(interceptor):
+        jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), sample, **apply_kwargs))
+    return order
+
+
+class KerasCreationRecorder:
+    """Records Keras layer instantiation order.
+
+    ``model.layers`` is in *graph-traversal* order, which diverges from
+    creation order for non-chain graphs (UNet++ grids).  Build the Keras
+    model inside this context manager and pass ``recorder.order`` to
+    ``keras_weight_stream`` to stream weights in true creation order.
+    """
+
+    def __init__(self):
+        self.order: tp.List[tp.Any] = []
+
+    def __enter__(self):
+        import keras
+        self._cls = keras.layers.Layer
+        self._orig = self._cls.__init__
+        rec = self.order
+        orig = self._orig
+
+        def patched(layer_self, *a, **k):
+            orig(layer_self, *a, **k)
+            rec.append(layer_self)
+
+        self._cls.__init__ = patched
+        return self
+
+    def __exit__(self, *exc):
+        self._cls.__init__ = self._orig
+        return False
+
+
+def keras_weight_stream(kmodel, creation_order: tp.Optional[tp.List] = None
+                        ) -> tp.List[tp.Tuple[str, tp.List[np.ndarray]]]:
+    """(kind, weights) per weighted layer, in creation order when a
+    ``KerasCreationRecorder`` order is supplied (else model.layers order)."""
+    layers = kmodel.layers
+    if creation_order is not None:
+        members = set(id(l) for l in layers)
+        layers = [l for l in creation_order if id(l) in members]
+    out = []
+    for layer in layers:
+        weights = layer.get_weights()
+        if not weights:
+            continue
+        cls = type(layer).__name__
+        if cls in ("Conv1D", "Conv2D"):
+            out.append(("conv", weights))
+        elif cls in ("Conv1DTranspose", "Conv2DTranspose"):
+            out.append(("convT", weights))
+        elif cls in ("DepthwiseConv1D", "DepthwiseConv2D"):
+            out.append(("dwconv", weights))
+        elif cls == "Dense":
+            out.append(("dense", weights))
+        elif cls == "BatchNormalization":
+            out.append(("bn", weights))
+        elif cls in ("ConvLSTM1D", "ConvLSTM2D"):
+            out.append(("convlstm", weights))
+        elif cls in ("Oper1D", "Oper2D"):
+            out.append(("oper", weights))
+        elif cls in ("Oper1DTranspose", "Oper2DTranspose"):
+            out.append(("operT", weights))
+        else:
+            raise ValueError(
+                f"Unhandled weighted Keras layer {cls} ({layer.name})")
+    return out
+
+
+def _set(tree: dict, path: tp.Tuple[str, ...], leaf_name: str,
+         value: np.ndarray) -> None:
+    node = tree
+    for key in path:
+        node = node.setdefault(key, {})
+    node[leaf_name] = jnp.asarray(value)
+
+
+def convert_keras_weights(kmodel, model, sample: jax.Array,
+                          creation_order: tp.Optional[tp.List] = None,
+                          **apply_kwargs) -> dict:
+    """Build a Flax ``variables`` dict carrying the Keras model's weights."""
+    forder = flax_call_order(model, sample, **apply_kwargs)
+    kstream = keras_weight_stream(kmodel, creation_order)
+    if len(forder) != len(kstream):
+        raise ValueError(
+            f"layer-count mismatch: flax {len(forder)} vs keras "
+            f"{len(kstream)}\nflax: {[f.kind for f in forder]}\n"
+            f"keras: {[k for k, _ in kstream]}")
+    params: dict = {}
+    batch_stats: dict = {}
+    for leaf, (kind, weights) in zip(forder, kstream):
+        if leaf.kind != kind:
+            raise ValueError(
+                f"kind mismatch at {leaf.path}: flax={leaf.kind} "
+                f"keras={kind}")
+        if kind in ("conv", "convT", "dense", "convlstm"):
+            kernel = weights[0]
+            _set(params, leaf.path, "kernel", kernel)
+            if kind == "convlstm":
+                # weights = [kernel, recurrent_kernel, bias]
+                _set(params, leaf.path, "bias", weights[2])
+            elif len(weights) > 1:
+                _set(params, leaf.path, "bias", weights[1])
+        elif kind == "dwconv":
+            k = weights[0]  # (k.., C, 1) -> (k.., 1, C)
+            k = np.swapaxes(k, -1, -2)
+            _set(params, leaf.path, "kernel", k)
+            if len(weights) > 1:
+                _set(params, leaf.path, "bias", weights[1])
+        elif kind in ("oper", "operT"):
+            kernels = weights[0::2]
+            biases = weights[1::2]
+            axis = -2 if kind == "oper" else -1  # cin axis of fused kernel
+            fused_k = np.concatenate(kernels, axis=axis)
+            fused_b = np.sum(np.stack(biases, 0), axis=0)
+            _set(params, leaf.path, "kernel", fused_k)
+            _set(params, leaf.path, "bias", fused_b)
+        elif kind == "bn":
+            gamma, beta, mean, var = weights
+            _set(params, leaf.path, "scale", gamma)
+            _set(params, leaf.path, "bias", beta)
+            _set(batch_stats, leaf.path, "mean", mean)
+            _set(batch_stats, leaf.path, "var", var)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return variables
