@@ -1,0 +1,340 @@
+"""Classic conv backbones: ResNet(V2), VGG, DenseNet, MobileNet(V1/V2/V3).
+
+Tap semantics mirror the reference's per-backbone ``get_layer`` tables
+(2DCNN/models/unet_variants.py:1057-1086 ResNet50, :1520-1549 VGG16,
+:1664-1699 DenseNet121, :1905-1935 MobileNet, ...): taps[i] at stride 2**i,
+taps[0] = the raw input.  All blocks are NHWC, bf16-capable, BN stats f32.
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = tp.Any
+
+
+def _bn(x, train, dtype, name=None):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                        epsilon=1.001e-5, dtype=dtype,
+                        param_dtype=jnp.float32, name=name)(x)
+
+
+def _conv(x, feats, k, s, dtype, use_bias=True, name=None, groups=1):
+    return nn.Conv(feats, (k, k), strides=(s, s), padding="SAME",
+                   feature_group_count=groups, use_bias=use_bias,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+
+
+def _maxpool(x, k=3, s=2):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, k, k, 1),
+                                 (1, s, s, 1), "SAME")
+
+
+class ResNetBackbone(nn.Module):
+    """ResNet v1 bottleneck backbone (taps: input, stem relu, stage ends --
+    the reference's conv1_relu / convN_blockM_out tap names)."""
+
+    blocks: tp.Tuple[int, ...] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        taps = [x]
+        h = _conv(x, 64, 7, 2, self.dtype)
+        h = _bn(h, train, self.dtype)
+        h = nn.relu(h)
+        taps.append(h)  # stride 2 ('conv1_relu')
+        h = _maxpool(h)
+        feats = 64
+        for stage, n_blocks in enumerate(self.blocks):
+            for b in range(n_blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                shortcut = h
+                if b == 0:
+                    shortcut = _conv(h, feats * 4, 1, stride, self.dtype)
+                    shortcut = _bn(shortcut, train, self.dtype)
+                y = _conv(h, feats, 1, stride, self.dtype)
+                y = nn.relu(_bn(y, train, self.dtype))
+                y = _conv(y, feats, 3, 1, self.dtype)
+                y = nn.relu(_bn(y, train, self.dtype))
+                y = _conv(y, feats * 4, 1, 1, self.dtype)
+                y = _bn(y, train, self.dtype)
+                h = nn.relu(y + shortcut)
+            taps.append(h)  # strides 4, 8, 16, 32
+            feats *= 2
+        return taps
+
+
+class ResNetV2Backbone(nn.Module):
+    """ResNet v2 (pre-activation).  The reference taps concat two
+    activations per stage (convN_blockM_1_relu + preact_relu,
+    unet_variants.py:1288-1319); here each stage tap is the concat of the
+    stage's last pre-activation and first-conv activation, matching that
+    two-tensor concat semantics."""
+
+    blocks: tp.Tuple[int, ...] = (3, 4, 6, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        taps = [x]
+        h = _conv(x, 64, 7, 2, self.dtype)
+        taps.append(h)  # 'conv1_conv', stride 2
+        h = _maxpool(h)
+        feats = 64
+        for stage, n_blocks in enumerate(self.blocks):
+            stage_pair = None
+            for b in range(n_blocks):
+                stride = 2 if (stage < len(self.blocks) - 1
+                               and b == n_blocks - 1) else 1
+                preact = nn.relu(_bn(h, train, self.dtype))
+                if b == 0:
+                    shortcut = _conv(preact, feats * 4, 1, 1, self.dtype)
+                elif stride > 1:
+                    h_pool = _maxpool(h, 1, stride)
+                    shortcut = h_pool
+                else:
+                    shortcut = h
+                y = _conv(preact, feats, 1, 1, self.dtype, use_bias=False)
+                y1 = nn.relu(_bn(y, train, self.dtype))
+                y = _conv(y1, feats, 3, stride, self.dtype, use_bias=False)
+                y = nn.relu(_bn(y, train, self.dtype))
+                y = _conv(y, feats * 4, 1, 1, self.dtype)
+                h = y + shortcut
+                stage_pair = (y1, preact)
+            y1, preact = stage_pair
+            # both tensors are at the stage's INPUT stride (the stride-2
+            # conv happens after them), matching the reference's taps
+            taps.append(jnp.concatenate([y1, preact], axis=-1))
+            feats *= 2
+        # final post_relu at stride 32
+        taps.append(nn.relu(_bn(h, train, self.dtype)))
+        # taps: [in, s2, s4, s8, s16, s32-from-last-stage, post_relu(s32)]
+        # keep reference shape: 6 taps with [5] = post_relu
+        return taps[:5] + [taps[6]]
+
+
+class VGGBackbone(nn.Module):
+    """VGG16/19 (taps: block2_conv2 .. block5_conv3/4 + block5_pool,
+    unet_variants.py:1520-1549)."""
+
+    convs: tp.Tuple[int, ...] = (2, 2, 3, 3, 3)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        widths = (64, 128, 256, 512, 512)
+        taps = [x]
+        h = x
+        for stage, (n, w) in enumerate(zip(self.convs, widths)):
+            for _ in range(n):
+                h = nn.relu(_conv(h, w, 3, 1, self.dtype))
+            if stage >= 1:
+                taps.append(h)  # last conv of blocks 2..5
+            h = _maxpool(h, 2, 2)
+        taps.append(h)  # block5_pool, stride 32
+        return taps
+
+
+class DenseNetBackbone(nn.Module):
+    """DenseNet (taps: conv1/relu, pool2_relu, pool3_relu, pool4_relu,
+    relu -- unet_variants.py:1664-1699).  growth_rate 32."""
+
+    blocks: tp.Tuple[int, ...] = (6, 12, 24, 16)
+    growth: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        taps = [x]
+        h = _conv(x, 64, 7, 2, self.dtype, use_bias=False)
+        h = nn.relu(_bn(h, train, self.dtype))
+        taps.append(h)  # conv1/relu, stride 2
+        h = _maxpool(h)
+        for stage, n_layers in enumerate(self.blocks):
+            for _ in range(n_layers):
+                y = nn.relu(_bn(h, train, self.dtype))
+                y = _conv(y, 4 * self.growth, 1, 1, self.dtype,
+                          use_bias=False)
+                y = nn.relu(_bn(y, train, self.dtype))
+                y = _conv(y, self.growth, 3, 1, self.dtype, use_bias=False)
+                h = jnp.concatenate([h, y], axis=-1)
+            if stage < len(self.blocks) - 1:
+                # transition: BN relu 1x1 conv (the tap) then avgpool
+                y = nn.relu(_bn(h, train, self.dtype))
+                y = _conv(y, h.shape[-1] // 2, 1, 1, self.dtype,
+                          use_bias=False)
+                taps.append(y)  # poolN_relu semantics (pre-pool)
+                h = jax.lax.reduce_window(
+                    y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID") / 4.0
+            else:
+                taps.append(nn.relu(_bn(h, train, self.dtype)))  # 'relu'
+        # taps: [in, s2, s4, s8, s16, s32? ] -- transitions are taken
+        # pre-pool so taps land at strides 4, 8, 16 and the final at 32
+        return taps
+
+
+class MobileNetBackbone(nn.Module):
+    """MobileNet v1 (depthwise-separable; taps at the conv_dw/pw relus of
+    strides 1..32, unet_variants.py:1905-1935)."""
+
+    alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    def _sep(self, h, feats, stride, train):
+        c = h.shape[-1]
+        h = _conv(h, c, 3, stride, self.dtype, use_bias=False, groups=c)
+        h = nn.relu6(_bn(h, train, self.dtype))
+        h = _conv(h, feats, 1, 1, self.dtype, use_bias=False)
+        return nn.relu6(_bn(h, train, self.dtype))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        a = self.alpha
+        taps = [x]
+        h = _conv(x, int(32 * a), 3, 2, self.dtype, use_bias=False)
+        h = nn.relu6(_bn(h, train, self.dtype))
+        h = self._sep(h, int(64 * a), 1, train)
+        taps.append(h)  # stride 2
+        h = self._sep(h, int(128 * a), 2, train)
+        h = self._sep(h, int(128 * a), 1, train)
+        taps.append(h)  # stride 4
+        h = self._sep(h, int(256 * a), 2, train)
+        h = self._sep(h, int(256 * a), 1, train)
+        taps.append(h)  # stride 8
+        h = self._sep(h, int(512 * a), 2, train)
+        for _ in range(5):
+            h = self._sep(h, int(512 * a), 1, train)
+        taps.append(h)  # stride 16
+        h = self._sep(h, int(1024 * a), 2, train)
+        h = self._sep(h, int(1024 * a), 1, train)
+        taps.append(h)  # stride 32
+        return taps
+
+
+class MobileNetV2Backbone(nn.Module):
+    """MobileNet v2 inverted residuals (taps at expand_relu boundaries,
+    unet_variants.py:1977-2007)."""
+
+    alpha: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    def _inv(self, h, feats, stride, expand, train):
+        cin = h.shape[-1]
+        y = h
+        if expand != 1:
+            y = _conv(y, cin * expand, 1, 1, self.dtype, use_bias=False)
+            y = nn.relu6(_bn(y, train, self.dtype))
+        c = y.shape[-1]
+        y = _conv(y, c, 3, stride, self.dtype, use_bias=False, groups=c)
+        y = nn.relu6(_bn(y, train, self.dtype))
+        y = _conv(y, feats, 1, 1, self.dtype, use_bias=False)
+        y = _bn(y, train, self.dtype)
+        if stride == 1 and cin == feats:
+            y = y + h
+        return y
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        cfg = [  # (expand, feats, n, stride)
+            (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+            (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+        taps = [x]
+        h = _conv(x, 32, 3, 2, self.dtype, use_bias=False)
+        h = nn.relu6(_bn(h, train, self.dtype))
+        stride = 2
+        for expand, feats, n, s in cfg:
+            if s == 2:
+                taps.append(h)
+                stride *= 2
+            for b in range(n):
+                h = self._inv(h, int(feats * self.alpha), s if b == 0 else 1,
+                              expand, train)
+        h = _conv(h, 1280, 1, 1, self.dtype, use_bias=False)
+        h = nn.relu6(_bn(h, train, self.dtype))
+        taps.append(h)  # stride 32
+        return taps
+
+
+def _hswish(x):
+    return x * nn.relu6(x + 3.0) / 6.0
+
+
+class MobileNetV3Backbone(nn.Module):
+    """MobileNet v3 small/large (taps at stride boundaries,
+    unet_variants.py:2049-2079 / 2121-2151)."""
+
+    size: str = "large"
+    dtype: Dtype = jnp.float32
+
+    def _se(self, h, ratio=4):
+        c = h.shape[-1]
+        s = jnp.mean(h, axis=(1, 2))
+        s = nn.relu(nn.Dense(max(c // ratio, 8), dtype=self.dtype,
+                             param_dtype=jnp.float32)(s))
+        s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.relu6(s + 3.0) / 6.0  # hard sigmoid
+        return h * s[:, None, None, :]
+
+    def _block(self, h, k, exp, feats, se, act, stride, train):
+        cin = h.shape[-1]
+        y = _conv(h, exp, 1, 1, self.dtype, use_bias=False)
+        y = act(_bn(y, train, self.dtype))
+        y = nn.Conv(exp, (k, k), strides=(stride, stride), padding="SAME",
+                    feature_group_count=exp, use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = act(_bn(y, train, self.dtype))
+        if se:
+            y = self._se(y)
+        y = _conv(y, feats, 1, 1, self.dtype, use_bias=False)
+        y = _bn(y, train, self.dtype)
+        if stride == 1 and cin == feats:
+            y = y + h
+        return y
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.List[jax.Array]:
+        relu = nn.relu
+        hs = _hswish
+        if self.size == "large":
+            cfg = [(3, 16, 16, False, relu, 1), (3, 64, 24, False, relu, 2),
+                   (3, 72, 24, False, relu, 1), (5, 72, 40, True, relu, 2),
+                   (5, 120, 40, True, relu, 1), (5, 120, 40, True, relu, 1),
+                   (3, 240, 80, False, hs, 2), (3, 200, 80, False, hs, 1),
+                   (3, 184, 80, False, hs, 1), (3, 184, 80, False, hs, 1),
+                   (3, 480, 112, True, hs, 1), (3, 672, 112, True, hs, 1),
+                   (5, 672, 160, True, hs, 2), (5, 960, 160, True, hs, 1),
+                   (5, 960, 160, True, hs, 1)]
+            last = 960
+        else:
+            cfg = [(3, 16, 16, True, relu, 2), (3, 72, 24, False, relu, 2),
+                   (3, 88, 24, False, relu, 1), (5, 96, 40, True, hs, 2),
+                   (5, 240, 40, True, hs, 1), (5, 240, 40, True, hs, 1),
+                   (5, 120, 48, True, hs, 1), (5, 144, 48, True, hs, 1),
+                   (5, 288, 96, True, hs, 2), (5, 576, 96, True, hs, 1),
+                   (5, 576, 96, True, hs, 1)]
+            last = 576
+        taps = [x]
+        h = _conv(x, 16, 3, 2, self.dtype, use_bias=False)
+        h = _hswish(_bn(h, train, self.dtype))
+        for (k, exp, feats, se, act, s) in cfg:
+            if s == 2:
+                taps.append(h)
+            h = self._block(h, k, exp, feats, se, act, s, train)
+        h = _conv(h, last, 1, 1, self.dtype, use_bias=False)
+        h = _hswish(_bn(h, train, self.dtype))
+        taps.append(h)
+        while len(taps) < 6:  # small variant reaches stride 32 early
+            taps.append(taps[-1])
+        return taps[:6]
