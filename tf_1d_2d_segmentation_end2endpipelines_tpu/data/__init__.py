@@ -3,3 +3,10 @@
 from .patch import create_patches, patch_grid, unpatchify  # noqa: F401
 from .pyramid import prepare_train_dict  # noqa: F401
 from .synthetic import batches, synthetic_images, synthetic_signals  # noqa: F401
+from .generators import (  # noqa: F401
+    PrefetchLoader,
+    SegmentationFolderDataset,
+    augment_pair,
+    create_folds,
+)
+from .pt_io import load_pt, load_signal_dataset, save_pt  # noqa: F401

@@ -1,0 +1,63 @@
+"""Parameter sharding rules for the 'model' (tensor-parallel) mesh axis.
+
+The reference has no parallelism at all (SURVEY.md §2.3); this is the
+TPU-native scaling design: conv kernels shard their OUTPUT-channel axis
+over 'model' (each device computes a channel slice of every feature map;
+XLA propagates the channel sharding through elementwise/BN ops and inserts
+all-gathers only where a following op needs full channels, e.g. channel
+concats and the 1-channel heads).  Batch stays sharded over 'data', grads
+psum over both axes automatically.
+
+Channel width must be divisible by the model-axis size to shard; leaves
+that don't divide are replicated (correct, just not distributed).
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_shardings(mesh: Mesh, params) -> tp.Any:
+    """NamedSharding tree for a params pytree: kernels output-sharded over
+    'model' where divisible, everything else replicated."""
+    model_size = mesh.shape.get("model", 1)
+
+    def rule(path, leaf) -> NamedSharding:
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        shape = np.shape(leaf)
+        if (model_size > 1 and name == "kernel" and len(shape) >= 2
+                and shape[-1] % model_size == 0):
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def state_shardings(mesh: Mesh, state) -> tp.Any:
+    """Shardings for a full TrainState: params + matching opt-state moments
+    (optax moments mirror param shapes, so the same rule applies by shape;
+    non-array/scalar leaves replicate)."""
+    model_size = mesh.shape.get("model", 1)
+    kernel_shapes = set()
+    if model_size > 1:
+        def collect(path, leaf):
+            name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+            shape = np.shape(leaf)
+            if (name == "kernel" and len(shape) >= 2
+                    and shape[-1] % model_size == 0):
+                kernel_shapes.add(shape)
+            return leaf
+        jax.tree_util.tree_map_with_path(collect, state.params)
+
+    def rule(leaf) -> NamedSharding:
+        shape = np.shape(leaf)
+        if model_size > 1 and shape in kernel_shapes:
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, state)

@@ -91,12 +91,54 @@ OPTIMIZER_NAMES = ("Adam", "Adadelta", "Adagrad", "Adamax", "FTRL", "Nadam",
                    "RMSprop", "SGD")
 
 
+def freeze_subtrees(optimizer: optax.GradientTransformation,
+                    frozen_prefixes: tp.Sequence[str]
+                    ) -> optax.GradientTransformation:
+    """Freeze parameter subtrees whose path contains any given token.
+
+    The reference's pretrained-encoder mode sets
+    ``Base_Model.trainable = is_base_model_trainable``
+    (unet_variants.py:1058) and the fine-tune stage unfreezes it with a
+    lower LR (2D notebook cells 53-55).  Here freezing is an optax
+    partition: frozen subtrees get ``set_to_zero`` (e.g. token
+    'Backbone' freezes every encoder-backbone submodule).
+    """
+    if not frozen_prefixes:
+        return optimizer
+
+    def label_fn(params):
+        def mark(path, tree):
+            if isinstance(tree, dict):
+                return {k: mark(f"{path}/{k}" if path else k, v)
+                        for k, v in tree.items()}
+            frozen = any(tok in path for tok in frozen_prefixes)
+            return "frozen" if frozen else "trainable"
+
+        return mark("", params)
+
+    return optax.multi_transform(
+        {"trainable": optimizer, "frozen": optax.set_to_zero()}, label_fn)
+
+
+def _find_hyperparams(opt_state):
+    """Locate the InjectHyperparams state (walks through multi_transform /
+    masked wrappers used by freeze_subtrees)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_states"):
+        return _find_hyperparams(opt_state.inner_states["trainable"])
+    if hasattr(opt_state, "inner_state"):
+        return _find_hyperparams(opt_state.inner_state)
+    raise ValueError("no InjectHyperparams state found")
+
+
 def set_learning_rate(opt_state, lr: float):
     """Return opt_state with a new injected learning rate (RLRoP hook)."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(
-        lr, dtype=opt_state.hyperparams["learning_rate"].dtype)
+    hp = _find_hyperparams(opt_state)
+    hp.hyperparams["learning_rate"] = jnp.asarray(
+        lr, dtype=hp.hyperparams["learning_rate"].dtype)
     return opt_state
 
 
 def get_learning_rate(opt_state) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_find_hyperparams(opt_state).hyperparams["learning_rate"])

@@ -43,6 +43,7 @@ class Trainer:
         num_classes: int = 2,
         mesh=None,
         seed: int = 42,
+        frozen_tokens: tp.Sequence[str] = (),
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else local_mesh()
@@ -50,6 +51,9 @@ class Trainer:
         self.loss_fn = get_loss(loss)
         self.loss_weights = loss_weights
         self.optimizer = make_optimizer(optimizer, learning_rate)
+        if frozen_tokens:
+            from .optimizers import freeze_subtrees
+            self.optimizer = freeze_subtrees(self.optimizer, frozen_tokens)
         self.metric_defs: tp.List[Metric] = [
             make_metric(m, num_classes=num_classes) for m in metrics]
         self.seed = seed
@@ -104,6 +108,8 @@ class Trainer:
         checkpoint: tp.Optional[CheckpointManager] = None,
         monitor: str = "val_loss",
         verbose: int = 1,
+        profile_dir: tp.Optional[str] = None,
+        profile_epoch: int = 1,
     ) -> tp.Dict[str, tp.List[float]]:
         assert self.state is not None, "call init_state(sample) first"
         self._build_steps()
@@ -116,6 +122,11 @@ class Trainer:
 
         for epoch in range(epochs):
             t0 = time.time()
+            # profiling hook (new aux subsystem; the reference has none,
+            # SURVEY.md §5): capture one epoch's device trace
+            profiling = profile_dir is not None and epoch == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(profile_dir)
             # -------- train epoch --------
             mstates = self._metric_init()
             losses = []
@@ -126,9 +137,14 @@ class Trainer:
                     self.state, batch["x"], batch["y"], mstates)
                 losses.append(loss)
                 nbatch += 1
+            if profiling:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
             logs: tp.Dict[str, float] = {}
             if losses:
                 logs["loss"] = float(jnp.mean(jnp.stack(losses)))
+            if nbatch:
+                logs["steps_per_sec"] = nbatch / max(time.time() - t0, 1e-9)
             logs.update(self._metric_results(mstates))
             # -------- validation epoch --------
             if val_data is not None:
