@@ -32,14 +32,21 @@ def create_patches(image: np.ndarray, patch_shape: tp.Tuple[int, int],
     pw, ph = patch_shape[0], patch_shape[1]
     assert pw == ph, "The patches are required to be squared shape"
     ys, xs = patch_grid(img.shape[:2], pw, overlap_ratio)
-    # strided sliding-window view, then gather the grid (no data copy until
-    # the final ascontiguousarray)
+    step = int(pw * (1 - overlap_ratio))
+    n = len(ys) * len(xs)
+    # native OpenMP fast path (native/patcher.cpp) pays off when threads
+    # are available; on single-core hosts numpy's strided copies win
+    import os as _os
+    if img.dtype == np.float32 and (_os.cpu_count() or 1) > 1:
+        from ..native import extract_patches
+        fast = extract_patches(img, pw, step)
+        if fast is not None:
+            return fast, n
     chan = img.shape[2:] if img.ndim == 3 else ()
     out = np.empty((len(ys), len(xs), pw, ph, *chan), dtype=img.dtype)
     for i, y in enumerate(ys):
         for j, x in enumerate(xs):
             out[i, j] = img[y:y + pw, x:x + ph]
-    n = len(ys) * len(xs)
     return out.reshape((n, pw, ph, *chan)), n
 
 
@@ -50,6 +57,15 @@ def unpatchify(patches: np.ndarray, image_size: tp.Tuple[int, int],
     better reconstruction, same shape semantics)."""
     n, pw = patches.shape[0], patches.shape[1]
     chan = patches.shape[3:]
+    step = int(pw * (1 - overlap_ratio))
+    import os as _os
+    if patches.dtype == np.float32 and (_os.cpu_count() or 1) > 1:
+        from ..native import accumulate_patches
+        res = accumulate_patches(patches, image_size, step)
+        if res is not None:
+            acc, cnt = res
+            out = (acc / np.maximum(cnt, 1.0)).astype(patches.dtype)
+            return out if chan else out[..., 0]
     ys, xs = patch_grid(image_size, pw, overlap_ratio)
     acc = np.zeros((*image_size, *chan), dtype=np.float64)
     cnt = np.zeros((*image_size, *chan), dtype=np.float64)
