@@ -8,3 +8,5 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .sharding_rules import param_shardings, state_shardings  # noqa: F401
+from .spatial import sharded_patch_inference  # noqa: F401
