@@ -191,7 +191,8 @@ def _sparse_categorical_accuracy_el(t, p):
 def _topk_accuracy_el(k):
     def fn(t, p):
         labels = jnp.argmax(t, -1)
-        topk = jax.lax.top_k(p, k)[1]
+        kk = min(k, p.shape[-1])  # keras clamps k to the class count
+        topk = jax.lax.top_k(p, kk)[1]
         return jnp.any(topk == labels[..., None], axis=-1).astype(jnp.float32)
     return fn
 
@@ -201,7 +202,8 @@ def _sparse_topk_accuracy_el(k):
         labels = t.astype(jnp.int32)
         if labels.shape == p.shape[:-1] + (1,):
             labels = labels[..., 0]
-        topk = jax.lax.top_k(p, k)[1]
+        kk = min(k, p.shape[-1])
+        topk = jax.lax.top_k(p, kk)[1]
         return jnp.any(topk == labels[..., None], axis=-1).astype(jnp.float32)
     return fn
 
