@@ -26,15 +26,25 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, state: TrainState, name: str = "best") -> str:
+        """Save model weights (params + batch_stats).
+
+        Weights-only matches the reference's ModelCheckpoint/load_weights
+        semantics (Train.py:361-379): the optimizer state resets on resume
+        and fine-tune stages can swap optimizers/freezing freely.
+        """
         path = self._path(name)
+        payload = {"params": state.params, "batch_stats": state.batch_stats}
         # overwrite semantics: Keras ModelCheckpoint replaces the file
-        self._ckptr.save(path, state, force=True)
+        self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         return path
 
     def restore(self, state: TrainState, name: str = "best") -> TrainState:
         path = self._path(name)
-        return self._ckptr.restore(path, target=state)
+        target = {"params": state.params, "batch_stats": state.batch_stats}
+        payload = self._ckptr.restore(path, target=target)
+        return state.replace(params=payload["params"],
+                             batch_stats=payload["batch_stats"])
 
     def exists(self, name: str = "best") -> bool:
         return os.path.isdir(self._path(name))
