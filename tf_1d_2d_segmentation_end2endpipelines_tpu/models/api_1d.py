@@ -112,7 +112,8 @@ class SegModel1D(nn.Module):
         """One encoder level -> (tap, conv_for_pool)."""
         k = self.kernel_size
         if family in ("multires", "multires_mixer"):
-            conv = MultiResBlock(feats, k, alpha=self.alpha,
+            conv = MultiResBlock(self.model_width, k, alpha=self.alpha,
+                                 multiplier=feats // self.model_width,
                                  mixer=family == "multires_mixer",
                                  dtype=self.dtype)(x, train)
             tap = ResPath(respath_len, feats, k, dtype=self.dtype)(conv, train)
@@ -149,7 +150,8 @@ class SegModel1D(nn.Module):
         k = self.kernel_size
         feats = self.model_width * (2 ** self.model_depth)
         if family in ("multires", "multires_mixer"):
-            return MultiResBlock(feats, k, alpha=self.alpha,
+            return MultiResBlock(self.model_width, k, alpha=self.alpha,
+                                 multiplier=feats // self.model_width,
                                  mixer=family == "multires_mixer",
                                  dtype=self.dtype)(x, train)
         if family == "convmixer":

@@ -112,6 +112,12 @@ class _DecoderBase(nn.Module):
     def _node_block(self, x: jax.Array, features: int, train: bool
                     ) -> jax.Array:
         if self.node in ("multires", "multires_mixer"):
+            if self.dialect == "1d":
+                return MultiResBlock(self.model_width, self.kernel,
+                                     alpha=self.alpha,
+                                     multiplier=features // self.model_width,
+                                     mixer=self.node == "multires_mixer",
+                                     dtype=self.dtype)(x, train)
             return MultiResBlock(features, self.kernel, alpha=self.alpha,
                                  mixer=self.node == "multires_mixer",
                                  dtype=self.dtype)(x, train)
@@ -232,6 +238,12 @@ class GridDecoder(_DecoderBase):
         deconvs_skip: tp.Dict[int, jax.Array] = {}
         for i in range(1, D + 1):
             for j in range(0, D - i + 1):
+                if self.variant == "E" and self.D_S == 0 and i + j != D:
+                    # UNetE off-diagonal nodes only feed DS heads; without
+                    # deep supervision they are dangling in the reference's
+                    # Keras graph (UNetE builds them but Model() prunes
+                    # them), so they are skipped here too
+                    continue
                 src = skips[j + 1] if i == 1 else deconvs[(j + 1, i - 1)]
                 width_j = W * (2 ** j)
                 # --- dense accumulation of earlier columns (PP/4P/AH) ---

@@ -56,8 +56,13 @@ class ScratchEncoder(nn.Module):
                 conv = MultiResBlock(W * (2 ** (i - 1)), 3, alpha=self.alpha,
                                      dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
-                taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
-                                    dtype=self.dtype)(conv, train))
+                if i <= D:
+                    taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
+                                        dtype=self.dtype)(conv, train))
+                else:
+                    # the (D+1)-th tap is replaced by the latent output; its
+                    # ResPath is dangling in the reference's Keras graph
+                    taps.append(conv)
         elif name == "KSSNet":
             for i in range(1, D + 2):
                 if i > 1:
@@ -66,8 +71,11 @@ class ScratchEncoder(nn.Module):
                         pool = concat(pool, nn.sigmoid(g))
                 conv = MultiResBlock(W * (2 ** (i - 1)), 3, alpha=self.alpha,
                                      dtype=self.dtype)(pool, train)
-                taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
-                                    dtype=self.dtype)(conv, train))
+                if i <= D:
+                    taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
+                                        dtype=self.dtype)(conv, train))
+                else:
+                    taps.append(conv)  # dangling ResPath skipped (see above)
                 pool = downsample_pool(conv, 2, op="max")
         elif name in ("UNet4P", "UNet4PV2", "AHNet"):
             for i in range(1, D + 2):
@@ -92,7 +100,9 @@ class ScratchEncoder(nn.Module):
                 conv = ConvBlock(W * (2 ** (i - 1)), 3, dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
                 taps.append(conv)
-        return taps, taps[-1]
+        # bottom is the raw deepest conv (reference returns `conv`, not the
+        # ResPath'd tap -- unet_variants.py:792)
+        return taps, conv
 
 
 class LatentLayer(nn.Module):

@@ -98,7 +98,9 @@ class TernausNetModel(nn.Module):
         deconv = conv
         levels: tp.List[jax.Array] = []
         for j in range(5):
-            mult = self._MULTS[4 - j]
+            # decoder widths follow 2**(4-j) (TernausNet.py decoder), NOT
+            # the encoder's stage multipliers which cap at 8
+            mult = 2 ** (4 - j)
             skip = taps[4 - j]
             if self.ag == 1:
                 skip = AttentionGate(W * mult, dialect="1d", dtype=self.dtype)(
@@ -315,7 +317,8 @@ class LinkNetModel(nn.Module):
         for i in range(1, D + 1):
             f = W * 2 ** (i - 1)
             if multires:
-                conv = MultiResBlock(f, k, alpha=self.alpha,
+                conv = MultiResBlock(W, k, alpha=self.alpha,
+                                     multiplier=f // W,
                                      dtype=self.dtype)(pool, train)
                 tap = ResPath(D - i + 1, f, k, dtype=self.dtype)(conv, train)
             else:
@@ -328,7 +331,8 @@ class LinkNetModel(nn.Module):
             pool = FeatureExtractionBlock(W, self.feature_number,
                                           dtype=self.dtype)(pool)
         if multires:
-            latent = MultiResBlock(W * 2 ** D, k, alpha=self.alpha,
+            latent = MultiResBlock(W, k, alpha=self.alpha,
+                                   multiplier=2 ** D,
                                    dtype=self.dtype)(pool, train)
         else:
             latent = ConvBlock(W * 2 ** D, k, dtype=self.dtype)(pool, train)

@@ -53,7 +53,8 @@ class ConvBlockRegulated(nn.Module):
 
 
 class MultiResBlockRegulated(nn.Module):
-    features: int
+    features: int  # base model width (1D semantics: truncate, then scale)
+    multiplier: int = 1
     kernel: int = 3
     alpha: float = 1.0
     block_size: int = 7
@@ -63,8 +64,9 @@ class MultiResBlockRegulated(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         w = self.alpha * self.features
-        f1, f2, f3 = (max(int(w * 0.167), 1), max(int(w * 0.333), 1),
-                      max(int(w * 0.5), 1))
+        m = self.multiplier
+        f1, f2, f3 = (max(int(w * 0.167), 1) * m, max(int(w * 0.333), 1) * m,
+                      max(int(w * 0.5), 1) * m)
         shortcut = ConvBlock(f1 + f2 + f3, 1, dtype=self.dtype)(x, train)
         c3 = ConvBlock(f1, self.kernel, dtype=self.dtype)(x, train)
         c5 = ConvBlock(f2, self.kernel, dtype=self.dtype)(c3, train)
@@ -102,7 +104,8 @@ class SAUNetModel(nn.Module):
     def _block(self, x, feats, train):
         if self.variant == "SAMultiResUNet":
             return MultiResBlockRegulated(
-                feats, self.kernel_size, self.alpha, self.block_size,
+                self.model_width, feats // self.model_width,
+                self.kernel_size, self.alpha, self.block_size,
                 self.keep_prob, dtype=self.dtype)(x, train)
         if self.variant == "SelfSAUNet":
             x = Oper(feats, self.kernel_size, q=self.q, dtype=self.dtype)(x)

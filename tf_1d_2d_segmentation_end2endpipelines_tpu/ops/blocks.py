@@ -303,6 +303,11 @@ class MultiResBlock(nn.Module):
     model_width: int
     kernel: tp.Union[int, tuple] = 3
     alpha: float = 1.0
+    #: the 1D tree truncates branch widths BEFORE multiplying by the level
+    #: multiplier (1DCNN Models MultiResBlock: Conv_Block(.., int(w*f),
+    #: kernel, multiplier)); the 2D tree passes the full width in.  2D
+    #: callers leave multiplier=1; 1D callers pass base width + multiplier.
+    multiplier: int = 1
     mixer: bool = False  # ConvMixer blocks as the conv unit (convmixer_unet.py)
     dtype: Dtype = jnp.float32
 
@@ -313,8 +318,9 @@ class MultiResBlock(nn.Module):
         w = self.alpha * self.model_width
         # int() truncation as in the reference; clamped to >=1 so tiny test
         # widths (which crash the reference) still build
-        f1, f2, f3 = (max(int(w * 0.167), 1), max(int(w * 0.333), 1),
-                      max(int(w * 0.5), 1))
+        m = self.multiplier
+        f1, f2, f3 = (max(int(w * 0.167), 1) * m, max(int(w * 0.333), 1) * m,
+                      max(int(w * 0.5), 1) * m)
         shortcut = Block(f1 + f2 + f3, 1)(x, train)
         c3 = Block(f1, self.kernel)(x, train)
         c5 = Block(f2, self.kernel)(c3, train)
