@@ -10,3 +10,8 @@ from .generators import (  # noqa: F401
     create_folds,
 )
 from .pt_io import load_pt, load_signal_dataset, save_pt  # noqa: F401
+from .coco import (  # noqa: F401
+    clean_mask_contours,
+    process_raw_data,
+    rasterize_coco_masks,
+)
