@@ -44,3 +44,17 @@ def test_sharded_patch_inference():
                                   patch=32, overlap_ratio=0.5, mesh=mesh)
     assert out.shape == (96, 96, 1)
     assert np.isfinite(out).all()
+
+
+def test_halo_conv_matches_unsharded():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel.halo import (
+        halo_conv2d)
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = jax.jit(lambda x, k: halo_conv2d(x, k, mesh))(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,65 @@
+"""Halo exchange for spatially-sharded convolution (shard_map + ppermute).
+
+For megapixel single-image inference the patch-grid path
+(`parallel/spatial.py`) reproduces the reference's patchify semantics; this
+module is the XLA-collective alternative: shard the image's H axis over the
+mesh, exchange k//2 boundary rows with ring neighbors over ICI
+(``ppermute``), and convolve each shard locally — numerically identical to
+the unsharded SAME convolution, with no patch-seam effects.
+"""
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
+    """Append neighbors' boundary rows: returns (rows + 2*halo, ...) with
+    zero padding at the global edges (SAME-conv semantics)."""
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    # send top rows to the previous shard, bottom rows to the next
+    top = x[:halo]
+    bottom = x[-halo:]
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_prev = jax.lax.ppermute(bottom, axis_name, fwd)   # prev's bottom
+    from_next = jax.lax.ppermute(top, axis_name, bwd)      # next's top
+    # zero halos at the global boundary
+    from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
+    from_next = jnp.where(idx == n - 1, jnp.zeros_like(from_next),
+                          from_next)
+    return jnp.concatenate([from_prev, x, from_next], axis=0)
+
+
+def halo_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh,
+                axis: str = "data") -> jax.Array:
+    """SAME 2D convolution with the H axis sharded over ``axis``.
+
+    ``x``: (B, H, W, C) with H divisible by the axis size;
+    ``kernel``: (kh, kw, C, F), odd kh/kw.  Equivalent to
+    ``lax.conv_general_dilated(x, kernel, SAME)`` (validated in tests).
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    halo = kh // 2
+
+    def local(xs: jax.Array, k: jax.Array) -> jax.Array:
+        # xs: (B, H/n, W, C) local shard with batch leading; operate on H
+        xs = jnp.swapaxes(xs, 0, 1)              # (H/n, B, W, C)
+        xs = _exchange_rows(xs, halo, axis)
+        xs = jnp.swapaxes(xs, 0, 1)              # (B, H/n + 2h, W, C)
+        out = jax.lax.conv_general_dilated(
+            xs, k, (1, 1), [(0, 0), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None, None), P()),
+        out_specs=P(None, axis, None, None))
+    return fn(x, kernel)
