@@ -9,6 +9,8 @@ from .nilm import (  # noqa: F401
 )
 from .reports import (  # noqa: F401
     export_results_sheet,
+    plot_prediction_distributions,
+    plot_sample_grid,
     plot_conf_mat,
     plot_history,
     plot_multiclass_precision_recall_curves,

@@ -145,3 +145,53 @@ def export_results_sheet(report: tp.Dict[str, tp.Any], save_path: str
         eval_table.to_csv(base + "_results.csv")
         cm_table.to_csv(base + "_confusion_matrix.csv")
         return base + "_results.csv"
+
+
+def plot_prediction_distributions(y_true, y_pred, save_path: str) -> str:
+    """GT-vs-prediction distribution plots (KDE + violin), the 2D
+    notebook's qualitative checks (2D_Segmentation_TF.ipynb cells 72-74)."""
+    t = np.asarray(y_true).ravel()
+    p = np.asarray(y_pred).ravel()
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    try:
+        import seaborn as sns
+        sns.kdeplot(t, ax=axes[0], label="ground truth", fill=True)
+        sns.kdeplot(p, ax=axes[0], label="prediction", fill=True)
+        sns.violinplot(data=[t, p], ax=axes[1])
+        axes[1].set_xticks([0, 1], ["ground truth", "prediction"])
+    except ImportError:
+        axes[0].hist(t, bins=50, alpha=0.5, label="ground truth",
+                     density=True)
+        axes[0].hist(p, bins=50, alpha=0.5, label="prediction",
+                     density=True)
+        axes[1].violinplot([t, p])
+    axes[0].legend()
+    axes[0].set_title("Value distribution")
+    axes[1].set_title("Violin")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return save_path
+
+
+def plot_sample_grid(images, masks, preds, save_path: str,
+                     max_samples: int = 4) -> str:
+    """image / ground-truth / prediction sample grid (notebook cells
+    77-78)."""
+    n = min(len(images), max_samples)
+    fig, axes = plt.subplots(n, 3, figsize=(9, 3 * n), squeeze=False)
+    for i in range(n):
+        img = np.asarray(images[i])
+        axes[i][0].imshow(img.squeeze(), cmap="gray" if img.shape[-1] == 1
+                          else None)
+        axes[i][0].set_title("image")
+        axes[i][1].imshow(np.asarray(masks[i]).squeeze(), cmap="viridis")
+        axes[i][1].set_title("ground truth")
+        axes[i][2].imshow(np.asarray(preds[i]).squeeze(), cmap="viridis")
+        axes[i][2].set_title("prediction")
+        for ax in axes[i]:
+            ax.axis("off")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return save_path
