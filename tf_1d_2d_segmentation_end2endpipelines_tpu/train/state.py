@@ -65,6 +65,12 @@ def make_train_step(
                    metric_states: tp.Tuple = ()):
         targets = _as_target_dict(y)
 
+        # dropout/DropBlock rngs, deterministic per step (SAUNet's
+        # DropBlock and AlbuNet's MLP dropout draw from the 'dropout'
+        # stream in train mode)
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0),
+                                              state.step)}
+
         def loss_inner(params):
             variables = {"params": params}
             mutable: tp.List[str] = []
@@ -73,10 +79,10 @@ def make_train_step(
                 mutable = ["batch_stats"]
             if mutable:
                 outputs, updated = model.apply(variables, x, train=True,
-                                               mutable=mutable)
+                                               mutable=mutable, rngs=rngs)
                 new_bs = updated["batch_stats"]
             else:
-                outputs = model.apply(variables, x, train=True)
+                outputs = model.apply(variables, x, train=True, rngs=rngs)
                 new_bs = state.batch_stats
             outputs32 = jax.tree.map(lambda t: t.astype(jnp.float32), outputs)
             loss = deep_supervision_loss(loss_fn, outputs32, targets,
