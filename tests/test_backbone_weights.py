@@ -1,0 +1,82 @@
+"""Keras.applications weight conversion: VGG16 tap-level parity."""
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+
+def test_vgg16_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("VGG16")
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kmodel = load_backbone_weights("VGG16", bb, x, weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    # reference tap names (unet_variants.py:1520-1549)
+    names = ["block2_conv2", "block3_conv3", "block4_conv3", "block5_conv3",
+             "block5_pool"]
+    kref = tf.keras.Model(
+        kmodel.input, [kmodel.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        diff = float(np.max(np.abs(got - ref)))
+        assert got.shape == ref.shape, name
+        assert diff < 1e-4, f"{name}: {diff}"
+
+
+def test_densenet121_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("DenseNet121")
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kmodel = load_backbone_weights("DenseNet121", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["conv1/relu", "pool2_relu", "pool3_relu", "pool4_relu", "relu"]
+    # keras 3 renames conv1/relu -> conv1_relu
+    resolved = []
+    for n in names:
+        try:
+            resolved.append(kmodel.get_layer(n).output)
+        except ValueError:
+            resolved.append(kmodel.get_layer(n.replace("/", "_")).output)
+    kref = tf.keras.Model(kmodel.input, resolved)
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        diff = float(np.max(np.abs(got - ref)))
+        assert diff < 1e-4, f"{name}: {diff}"
+
+
+def test_resnet50_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("ResNet50")
+    x = np.random.default_rng(2).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kmodel = load_backbone_weights("ResNet50", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["conv1_relu", "conv2_block3_out", "conv3_block4_out",
+             "conv4_block6_out", "conv5_block3_out"]
+    kref = tf.keras.Model(kmodel.input,
+                          [kmodel.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        diff = float(np.max(np.abs(got - ref)))
+        assert diff < 1e-3, f"{name}: {diff}"

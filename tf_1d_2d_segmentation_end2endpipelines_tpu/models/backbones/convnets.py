@@ -44,11 +44,17 @@ class ResNetBackbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         taps = [x]
-        h = _conv(x, 64, 7, 2, self.dtype)
+        # keras.applications stem: ZeroPad(3) + VALID 7x7 s2, ZeroPad(1) +
+        # VALID 3x3 maxpool (exact for ImageNet weight conversion)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
         h = _bn(h, train, self.dtype)
         h = nn.relu(h)
         taps.append(h)  # stride 2 ('conv1_relu')
-        h = _maxpool(h)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1), "VALID")
         feats = 64
         for stage, n_blocks in enumerate(self.blocks):
             for b in range(n_blocks):
@@ -154,10 +160,17 @@ class DenseNetBackbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         taps = [x]
-        h = _conv(x, 64, 7, 2, self.dtype, use_bias=False)
+        # keras.applications stem: ZeroPad(3) + VALID 7x7 s2 (exact match
+        # so converted ImageNet weights reproduce keras outputs)
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
         h = nn.relu(_bn(h, train, self.dtype))
         taps.append(h)  # conv1/relu, stride 2
-        h = _maxpool(h)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1), "VALID")
         for stage, n_layers in enumerate(self.blocks):
             for _ in range(n_layers):
                 y = nn.relu(_bn(h, train, self.dtype))
@@ -167,18 +180,18 @@ class DenseNetBackbone(nn.Module):
                 y = _conv(y, self.growth, 3, 1, self.dtype, use_bias=False)
                 h = jnp.concatenate([h, y], axis=-1)
             if stage < len(self.blocks) - 1:
-                # transition: BN relu 1x1 conv (the tap) then avgpool
+                # transition: BN relu (tap: the reference's poolN_relu is
+                # BEFORE the 1x1 conv) then conv + avgpool
                 y = nn.relu(_bn(h, train, self.dtype))
+                taps.append(y)  # poolN_relu
                 y = _conv(y, h.shape[-1] // 2, 1, 1, self.dtype,
                           use_bias=False)
-                taps.append(y)  # poolN_relu semantics (pre-pool)
                 h = jax.lax.reduce_window(
                     y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                     "VALID") / 4.0
             else:
                 taps.append(nn.relu(_bn(h, train, self.dtype)))  # 'relu'
-        # taps: [in, s2, s4, s8, s16, s32? ] -- transitions are taken
-        # pre-pool so taps land at strides 4, 8, 16 and the final at 32
+        # taps: [in, s2, s4, s8, s16, s32]: transition taps are pre-pool
         return taps
 
 

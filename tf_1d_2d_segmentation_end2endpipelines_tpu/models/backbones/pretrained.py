@@ -1,0 +1,60 @@
+"""Pretrained-weight loading for backbones via Keras interop.
+
+The reference downloads ImageNet weights through ``tf.keras.applications``
+(e.g. unet_variants.py:1057).  This environment has no network egress, so
+the path here is: build the matching ``keras.applications`` model (from a
+local ``.h5`` when provided, else ``weights=None``), then convert by call
+order (``utils.keras_compat``).
+
+Exactness status per family:
+- VGG16/VGG19, DenseNet121/169/201, ResNet50/101/152: exact (tap-level
+  verified in tests/test_backbone_weights.py)
+- others: the Flax architectures use SAME padding where keras.applications
+  pads explicitly (ZeroPadding2D + VALID), so converted weights are
+  compatible in shape for most layers but not numerically identical --
+  next-round work (PROGRESS.md item 3).
+"""
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+
+
+KERAS_BUILDERS = {
+    "VGG16": ("tensorflow.keras.applications", "VGG16"),
+    "VGG19": ("tensorflow.keras.applications", "VGG19"),
+    "DenseNet121": ("tensorflow.keras.applications", "DenseNet121"),
+    "DenseNet169": ("tensorflow.keras.applications", "DenseNet169"),
+    "DenseNet201": ("tensorflow.keras.applications", "DenseNet201"),
+    "ResNet50": ("tensorflow.keras.applications", "ResNet50"),
+    "ResNet101": ("tensorflow.keras.applications", "ResNet101"),
+    "ResNet152": ("tensorflow.keras.applications", "ResNet152"),
+}
+
+EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
+                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152")
+
+
+def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,
+                          weights: tp.Optional[str] = None) -> dict:
+    """Return Flax variables for ``flax_backbone`` carrying Keras weights.
+
+    ``weights``: None (random -- structure/parity testing), 'imagenet'
+    (requires network or keras cache), or a local .h5 path.
+    """
+    if name not in KERAS_BUILDERS:
+        raise NotImplementedError(
+            f"exact keras.applications conversion implemented for "
+            f"{EXACT_FAMILIES}; {name!r} pending (see PROGRESS.md)")
+    import importlib
+    from ...utils.keras_compat import (KerasCreationRecorder,
+                                       convert_keras_weights)
+    module_name, attr = KERAS_BUILDERS[name]
+    mod = importlib.import_module(module_name)
+    builder = getattr(mod, attr)
+    with KerasCreationRecorder() as rec:
+        kmodel = builder(include_top=False, weights=weights,
+                         input_shape=tuple(sample.shape[1:]))
+    return convert_keras_weights(kmodel, flax_backbone, sample,
+                                 creation_order=rec.order), kmodel
