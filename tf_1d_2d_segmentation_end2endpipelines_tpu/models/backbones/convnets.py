@@ -16,9 +16,9 @@ from flax import linen as nn
 Dtype = tp.Any
 
 
-def _bn(x, train, dtype, name=None):
+def _bn(x, train, dtype, name=None, eps=1.001e-5):
     return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                        epsilon=1.001e-5, dtype=dtype,
+                        epsilon=eps, dtype=dtype,
                         param_dtype=jnp.float32, name=name)(x)
 
 
@@ -235,8 +235,10 @@ class MobileNetBackbone(nn.Module):
 
 
 class MobileNetV2Backbone(nn.Module):
-    """MobileNet v2 inverted residuals (taps at expand_relu boundaries,
-    unet_variants.py:1977-2007)."""
+    """MobileNet v2 inverted residuals.  Taps match the reference's
+    block_{1,3,6,13}_expand_relu + out_relu (unet_variants.py:1977-2007):
+    the expand activation INSIDE the first block of each strided group
+    (exact for keras.applications weight conversion; BN eps 1e-3)."""
 
     alpha: float = 1.0
     dtype: Dtype = jnp.float32
@@ -244,17 +246,19 @@ class MobileNetV2Backbone(nn.Module):
     def _inv(self, h, feats, stride, expand, train):
         cin = h.shape[-1]
         y = h
+        expand_act = None
         if expand != 1:
             y = _conv(y, cin * expand, 1, 1, self.dtype, use_bias=False)
-            y = nn.relu6(_bn(y, train, self.dtype))
+            y = nn.relu6(_bn(y, train, self.dtype, eps=1e-3))
+            expand_act = y
         c = y.shape[-1]
         y = _conv(y, c, 3, stride, self.dtype, use_bias=False, groups=c)
-        y = nn.relu6(_bn(y, train, self.dtype))
+        y = nn.relu6(_bn(y, train, self.dtype, eps=1e-3))
         y = _conv(y, feats, 1, 1, self.dtype, use_bias=False)
-        y = _bn(y, train, self.dtype)
+        y = _bn(y, train, self.dtype, eps=1e-3)
         if stride == 1 and cin == feats:
             y = y + h
-        return y
+        return y, expand_act
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -264,18 +268,16 @@ class MobileNetV2Backbone(nn.Module):
             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
         taps = [x]
         h = _conv(x, 32, 3, 2, self.dtype, use_bias=False)
-        h = nn.relu6(_bn(h, train, self.dtype))
-        stride = 2
+        h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         for expand, feats, n, s in cfg:
-            if s == 2:
-                taps.append(h)
-                stride *= 2
             for b in range(n):
-                h = self._inv(h, int(feats * self.alpha), s if b == 0 else 1,
-                              expand, train)
+                h, expand_act = self._inv(h, int(feats * self.alpha),
+                                          s if b == 0 else 1, expand, train)
+                if s == 2 and b == 0 and expand_act is not None:
+                    taps.append(expand_act)  # block_N_expand_relu
         h = _conv(h, 1280, 1, 1, self.dtype, use_bias=False)
-        h = nn.relu6(_bn(h, train, self.dtype))
-        taps.append(h)  # stride 32
+        h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
+        taps.append(h)  # out_relu, stride 32
         return taps
 
 

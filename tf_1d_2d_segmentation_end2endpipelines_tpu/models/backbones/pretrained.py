@@ -30,10 +30,11 @@ KERAS_BUILDERS = {
     "ResNet50": ("tensorflow.keras.applications", "ResNet50"),
     "ResNet101": ("tensorflow.keras.applications", "ResNet101"),
     "ResNet152": ("tensorflow.keras.applications", "ResNet152"),
+    "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
 }
 
 EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
-                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152")
+                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNetV2")
 
 
 def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,
