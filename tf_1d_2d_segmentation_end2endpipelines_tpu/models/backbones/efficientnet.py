@@ -41,8 +41,31 @@ def _round_repeats(r: int, depth: float) -> int:
     return int(math.ceil(depth * r))
 
 
+class InputNorm(nn.Module):
+    """keras.applications EfficientNet's internal Rescaling(1/255) +
+    Normalization layers.  mean/variance are variables so converted keras
+    weights drop in; with random init this is the identity-ish default."""
+
+    channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        mean = self.param("mean", nn.initializers.zeros, (self.channels,),
+                          jnp.float32)
+        var = self.param("var", nn.initializers.ones, (self.channels,),
+                         jnp.float32)
+        x = x / 255.0
+        return ((x - mean) / jnp.sqrt(var + 1e-7)).astype(self.dtype)
+
+
 class EfficientNetBackbone(nn.Module):
-    """EfficientNet V1 with compound width/depth scaling (MBConv + SE)."""
+    """EfficientNet V1 with compound width/depth scaling (MBConv + SE).
+
+    Exact keras.applications structure: internal Rescaling+Normalization,
+    SE as 1x1 convs, taps at the reference's blockNa_expand_activation
+    positions (inside the first block of each strided stage,
+    unet_variants.py:2440-2461) + top_activation."""
 
     width: float = 1.0
     depth: float = 1.0
@@ -57,41 +80,45 @@ class EfficientNetBackbone(nn.Module):
     def _mbconv(self, h, k, cout, expand, stride, train):
         cin = h.shape[-1]
         y = h
+        expand_act = None
         if expand != 1:
             y = _conv(y, cin * expand, 1, 1, self.dtype)
             y = nn.swish(_bn(y, train, self.dtype))
+            expand_act = y
         c = y.shape[-1]
         y = _conv(y, c, k, stride, self.dtype, groups=c)
         y = nn.swish(_bn(y, train, self.dtype))
-        # squeeze-excite at ratio 0.25 of cin
+        # squeeze-excite at ratio 0.25 of cin, as 1x1 convs (keras layout)
         se_c = max(1, int(cin * 0.25))
-        s = jnp.mean(y, axis=(1, 2))
-        s = nn.swish(nn.Dense(se_c, dtype=self.dtype,
-                              param_dtype=jnp.float32)(s))
-        s = nn.sigmoid(nn.Dense(c, dtype=self.dtype,
-                                param_dtype=jnp.float32)(s))
-        y = y * s[:, None, None, :]
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = nn.Conv(se_c, (1, 1), dtype=self.dtype,
+                    param_dtype=jnp.float32)(s)
+        s = nn.swish(s)
+        s = nn.Conv(c, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(s)
+        s = nn.sigmoid(s)
+        y = y * s
         y = _conv(y, cout, 1, 1, self.dtype)
         y = _bn(y, train, self.dtype)
         if stride == 1 and cin == cout:
             y = y + h
-        return y
+        return y, expand_act
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         taps = [x]
+        h = InputNorm(dtype=self.dtype)(x)
         stem = _round_filters(32, self.width)
-        h = _conv(x, stem, 3, 2, self.dtype)
+        h = _conv(h, stem, 3, 2, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
         for (k, r, cin, cout, expand, stride) in self._BASE:
             cout_s = _round_filters(cout, self.width)
             reps = _round_repeats(r, self.depth)
             for b in range(reps):
                 s = stride if b == 0 else 1
-                if s == 2:
-                    taps.append(h)  # blockNa_expand_activation boundary
-                h = self._mbconv(h, k, cout_s, expand, s, train)
+                h, expand_act = self._mbconv(h, k, cout_s, expand, s, train)
+                if s == 2 and b == 0 and expand_act is not None:
+                    taps.append(expand_act)  # blockNa_expand_activation
         h = _conv(h, _round_filters(1280, self.width), 1, 1, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
         taps.append(h)  # top_activation, stride 32

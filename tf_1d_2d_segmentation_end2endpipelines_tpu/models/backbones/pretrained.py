@@ -31,10 +31,21 @@ KERAS_BUILDERS = {
     "ResNet101": ("tensorflow.keras.applications", "ResNet101"),
     "ResNet152": ("tensorflow.keras.applications", "ResNet152"),
     "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
+    "EfficientNetB0": ("tensorflow.keras.applications", "EfficientNetB0"),
+    "EfficientNetB1": ("tensorflow.keras.applications", "EfficientNetB1"),
+    "EfficientNetB2": ("tensorflow.keras.applications", "EfficientNetB2"),
+    "EfficientNetB3": ("tensorflow.keras.applications", "EfficientNetB3"),
+    "EfficientNetB4": ("tensorflow.keras.applications", "EfficientNetB4"),
+    "EfficientNetB5": ("tensorflow.keras.applications", "EfficientNetB5"),
+    "EfficientNetB6": ("tensorflow.keras.applications", "EfficientNetB6"),
+    "EfficientNetB7": ("tensorflow.keras.applications", "EfficientNetB7"),
 }
 
 EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
-                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNetV2")
+                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNetV2",
+                  "EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
+                  "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
+                  "EfficientNetB6", "EfficientNetB7")
 
 
 def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,

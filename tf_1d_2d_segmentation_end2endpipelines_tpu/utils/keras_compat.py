@@ -58,6 +58,8 @@ def _flax_kind(mod) -> tp.Optional[str]:
         return "dense"
     if isinstance(mod, nn.BatchNorm):
         return "bn"
+    if type(mod).__name__ == "InputNorm":
+        return "norm"
     return None
 
 
@@ -144,6 +146,8 @@ def keras_weight_stream(kmodel, creation_order: tp.Optional[tp.List] = None
             out.append(("oper", weights))
         elif cls in ("Oper1DTranspose", "Oper2DTranspose"):
             out.append(("operT", weights))
+        elif cls == "Normalization":
+            out.append(("norm", weights))
         else:
             raise ValueError(
                 f"Unhandled weighted Keras layer {cls} ({layer.name})")
@@ -198,6 +202,10 @@ def convert_keras_weights(kmodel, model, sample: jax.Array,
             fused_b = np.sum(np.stack(biases, 0), axis=0)
             _set(params, leaf.path, "kernel", fused_k)
             _set(params, leaf.path, "bias", fused_b)
+        elif kind == "norm":
+            # keras Normalization: [mean, variance(, count)]
+            _set(params, leaf.path, "mean", np.asarray(weights[0]).reshape(-1))
+            _set(params, leaf.path, "var", np.asarray(weights[1]).reshape(-1))
         elif kind == "bn":
             gamma, beta, mean, var = weights
             _set(params, leaf.path, "scale", gamma)
