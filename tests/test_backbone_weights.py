@@ -129,3 +129,18 @@ def test_efficientnetb0_tap_parity():
         assert got.shape == ref.shape, (name, got.shape, ref.shape)
         diff = float(np.max(np.abs(got - ref)))
         assert diff < 1e-3, f"{name}: {diff}"
+
+
+def test_init_segmodel_with_imagenet_structure():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.pretrained_init import (
+        init_segmodel_with_imagenet)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=4,
+                     train_mode="pretrained_encoder", backbone="VGG16")
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables = init_segmodel_with_imagenet(model, x, weights=None)
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    assert out["out"].shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["out"])).all()

@@ -173,7 +173,7 @@ class InceptionResNetV2Backbone(nn.Module):
                   96, 3, 1, train, d)
         b4 = _cba(_avgpool(h), 64, 1, 1, train, d)
         h = jnp.concatenate([b1, b2, b3, b4], -1)
-        for _ in range(5):  # 10 in the full model; 5 keeps build times sane
+        for _ in range(10):
             h = self._block35(h, train)
         taps.append(h)  # stride 8
         # reduction A
@@ -181,7 +181,7 @@ class InceptionResNetV2Backbone(nn.Module):
         b2 = _cba(_cba(_cba(h, 256, 1, 1, train, d), 256, 3, 1, train, d),
                   384, 3, 2, train, d)
         h = jnp.concatenate([b1, b2, _maxpool(h)], -1)
-        for _ in range(10):  # 20 in the full model
+        for _ in range(20):
             h = self._block17(h, train)
         taps.append(h)  # stride 16
         # reduction B
@@ -190,7 +190,7 @@ class InceptionResNetV2Backbone(nn.Module):
         b3 = _cba(_cba(_cba(h, 256, 1, 1, train, d), 288, 3, 1, train, d),
                   320, 3, 2, train, d)
         h = jnp.concatenate([b1, b2, b3, _maxpool(h)], -1)
-        for _ in range(5):  # 10 in the full model
+        for _ in range(10):
             h = self._block8(h, train)
         h = _cba(h, 1536, 1, 1, train, d)
         taps.append(h)  # stride 32
