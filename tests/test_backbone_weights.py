@@ -144,3 +144,27 @@ def test_init_segmodel_with_imagenet_structure():
     out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
     assert out["out"].shape == (1, 64, 64, 1)
     assert np.isfinite(np.asarray(out["out"])).all()
+
+
+def test_mobilenet_v1_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("MobileNet")
+    x = np.random.default_rng(5).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kmodel = load_backbone_weights("MobileNet", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["conv_pw_1_relu", "conv_pw_3_relu", "conv_pw_5_relu",
+             "conv_pw_11_relu", "conv_pw_13_relu"]
+    kref = tf.keras.Model(kmodel.input,
+                          [kmodel.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        diff = float(np.max(np.abs(got - ref)))
+        assert diff < 1e-3, f"{name}: {diff}"

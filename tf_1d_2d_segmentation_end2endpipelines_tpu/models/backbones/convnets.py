@@ -205,9 +205,9 @@ class MobileNetBackbone(nn.Module):
     def _sep(self, h, feats, stride, train):
         c = h.shape[-1]
         h = _conv(h, c, 3, stride, self.dtype, use_bias=False, groups=c)
-        h = nn.relu6(_bn(h, train, self.dtype))
+        h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         h = _conv(h, feats, 1, 1, self.dtype, use_bias=False)
-        return nn.relu6(_bn(h, train, self.dtype))
+        return nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
@@ -215,7 +215,7 @@ class MobileNetBackbone(nn.Module):
         a = self.alpha
         taps = [x]
         h = _conv(x, int(32 * a), 3, 2, self.dtype, use_bias=False)
-        h = nn.relu6(_bn(h, train, self.dtype))
+        h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         h = self._sep(h, int(64 * a), 1, train)
         taps.append(h)  # stride 2
         h = self._sep(h, int(128 * a), 2, train)

@@ -30,6 +30,7 @@ KERAS_BUILDERS = {
     "ResNet50": ("tensorflow.keras.applications", "ResNet50"),
     "ResNet101": ("tensorflow.keras.applications", "ResNet101"),
     "ResNet152": ("tensorflow.keras.applications", "ResNet152"),
+    "MobileNet": ("tensorflow.keras.applications", "MobileNet"),
     "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
     "EfficientNetB0": ("tensorflow.keras.applications", "EfficientNetB0"),
     "EfficientNetB1": ("tensorflow.keras.applications", "EfficientNetB1"),
@@ -42,7 +43,8 @@ KERAS_BUILDERS = {
 }
 
 EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
-                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNetV2",
+                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNet",
+                  "MobileNetV2",
                   "EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
                   "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
                   "EfficientNetB6", "EfficientNetB7")
