@@ -63,3 +63,16 @@ def test_train_and_test_drivers(tmp_path):
     results_dir = os.path.join(cfg.save_dir, "test_results", "fold_1")
     assert os.path.exists(os.path.join(results_dir, "confusion_matrix.png"))
     assert os.path.exists(os.path.join(results_dir, "masks", "pred_0.png"))
+
+
+def test_validation_portion_split(tmp_path):
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=8)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        validation_portion=0.25, imlength=32, imwidth=32, model_width=4,
+        model_depth=2, decoder_name="UNet", batch_size=2, num_epochs=1,
+        save_dir=str(tmp_path / "R"), load_weights=False,
+        monitor_param="val_loss")
+    hist = run_train(config=cfg)
+    assert "val_loss" in hist[1]

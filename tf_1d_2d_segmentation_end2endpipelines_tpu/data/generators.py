@@ -85,6 +85,33 @@ class SegmentationFolderDataset:
         return img, msk
 
 
+class SubsetDataset:
+    """Index-subset view of a SegmentationFolderDataset (used for the
+    validation_portion split, reference Train.py:281-315 when no
+    independent validation set is configured)."""
+
+    def __init__(self, base: "SegmentationFolderDataset",
+                 indices: tp.Sequence[int]):
+        self.base = base
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def load_pair(self, idx: int):
+        return self.base.load_pair(self.indices[idx])
+
+
+def split_dataset(ds: "SegmentationFolderDataset", val_portion: float,
+                  seed: int = 1):
+    """Random train/val split by portion."""
+    n = len(ds)
+    order = np.random.default_rng(seed).permutation(n)
+    n_val = int(n * val_portion)
+    return (SubsetDataset(ds, order[n_val:]),
+            SubsetDataset(ds, order[:n_val]))
+
+
 class PrefetchLoader:
     """Threaded, double-buffered batch loader.
 

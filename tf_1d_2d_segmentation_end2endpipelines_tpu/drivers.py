@@ -96,13 +96,28 @@ def train(config_path: str = "Train_Configs.ini",
             else cfg.train_dir,
             size, cfg.image_color_mode, cfg.mask_color_mode,
             cfg.normalizing_factor_img, cfg.normalizing_factor_msk)
+        split_val_ds = None
+        if not cfg.independent_val_set and cfg.validation_portion > 0:
+            from .data.generators import split_dataset
+            train_ds, split_val_ds = split_dataset(
+                train_ds, cfg.validation_portion, seed=cfg.seed)
         loader = PrefetchLoader(
             train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
             patchify=cfg.patchify,
             patch_shape=(cfg.patch_width, cfg.patch_height),
             overlap_ratio=cfg.overlap_ratio)
         val_loader = None
-        if cfg.independent_val_set and os.path.isdir(cfg.val_dir):
+        if split_val_ds is not None and len(split_val_ds):
+            raw_val = PrefetchLoader(split_val_ds, cfg.batch_size,
+                                     shuffle=False, patchify=cfg.patchify,
+                                     patch_shape=(cfg.patch_width,
+                                                  cfg.patch_height),
+                                     overlap_ratio=cfg.overlap_ratio)
+
+            def val_loader():
+                for x, y in raw_val():
+                    yield x, _wrap_targets(y, cfg)
+        elif cfg.independent_val_set and os.path.isdir(cfg.val_dir):
             val_dir = (os.path.join(cfg.val_dir, f"fold_{fold}")
                        if os.path.isdir(os.path.join(cfg.val_dir,
                                                      f"fold_{fold}"))
