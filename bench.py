@@ -18,6 +18,16 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: first compile through the remote-compile
+    # tunnel costs minutes; subsequent bench runs reuse the executable
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_tpu_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
     from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
         make_mesh, replicated, shard_batch)
