@@ -76,3 +76,30 @@ def test_validation_portion_split(tmp_path):
         monitor_param="val_loss")
     hist = run_train(config=cfg)
     assert "val_loss" in hist[1]
+
+
+def test_cli_module_entry(tmp_path):
+    """`python -m <pkg> train <ini>` end-to-end in a subprocess."""
+    import subprocess
+    import sys as _sys
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=4)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", batch_size=2, num_epochs=1,
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        load_weights=False)
+    ini = tmp_path / "cfg.ini"
+    save_train_config(cfg, str(ini))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.run(
+        [_sys.executable, "-m",
+         "tf_1d_2d_segmentation_end2endpipelines_tpu", "train", str(ini)],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.isdir(os.path.join(cfg.save_dir, "Fold_1", "best"))
