@@ -66,3 +66,16 @@ def test_predict_shapes():
     out = tr.predict(x)
     assert out["out"].shape == (4, 32, 32, 3)
     np.testing.assert_allclose(out["out"].sum(-1), 1.0, rtol=1e-3)
+
+
+def test_nan_guard_recovers():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import NaNGuard
+    x, y = synthetic_signals(8, length=128)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation=None)
+    # a huge LR drives MSLE into non-finite territory quickly
+    tr = Trainer(model, loss="MeanSquaredError", learning_rate=1e21)
+    tr.init_state(x[:4])
+    guard = NaNGuard(max_restores=2)
+    tr.fit(batches(x, y, 4), epochs=6, callbacks=[guard], verbose=0)
+    assert guard.restores >= 1  # guard engaged (rescued or aborted)

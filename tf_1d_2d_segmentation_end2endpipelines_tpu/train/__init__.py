@@ -1,6 +1,11 @@
 """Training runtime: losses, metrics, optimizers, pjit steps, trainer."""
 
-from .callbacks import BestTracker, EarlyStopping, ReduceLROnPlateau  # noqa: F401
+from .callbacks import (  # noqa: F401
+    BestTracker,
+    EarlyStopping,
+    NaNGuard,
+    ReduceLROnPlateau,
+)
 from .checkpoint import CheckpointManager  # noqa: F401
 from .losses import (  # noqa: F401
     LOSSES,

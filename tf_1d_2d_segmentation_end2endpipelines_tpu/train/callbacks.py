@@ -102,3 +102,30 @@ class BestTracker:
             self.best = value
             return True
         return False
+
+
+class NaNGuard:
+    """Failure detection + recovery (new aux subsystem; SURVEY.md §5 notes
+    the reference has none): when an epoch produces a non-finite loss, the
+    trainer restores the best checkpoint (when one exists), scales the LR
+    down, and continues; training aborts after ``max_restores`` rescues.
+    """
+
+    def __init__(self, max_restores: int = 3, lr_factor: float = 0.5):
+        self.max_restores = max_restores
+        self.lr_factor = lr_factor
+        self.restores = 0
+        self.aborted = False
+
+    def check(self, logs: tp.Dict[str, float]) -> bool:
+        """True if this epoch's loss is non-finite (rescue needed)."""
+        loss = logs.get("loss")
+        return loss is not None and not math.isfinite(loss)
+
+    def on_failure(self) -> bool:
+        """Register a rescue; returns False when out of budget."""
+        self.restores += 1
+        if self.restores > self.max_restores:
+            self.aborted = True
+            return False
+        return True

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import local_mesh, replicated, shard_batch
-from .callbacks import BestTracker, EarlyStopping, ReduceLROnPlateau
+from .callbacks import (BestTracker, EarlyStopping, NaNGuard,
+                        ReduceLROnPlateau)
 from .checkpoint import CheckpointManager
 from .losses import get_loss
 from .metrics import Metric, make_metric
@@ -118,6 +119,7 @@ class Trainer:
                      None)
         rlrop = next((c for c in callbacks
                       if isinstance(c, ReduceLROnPlateau)), None)
+        guard = next((c for c in callbacks if isinstance(c, NaNGuard)), None)
         best = BestTracker(monitor) if checkpoint is not None else None
 
         for epoch in range(epochs):
@@ -168,6 +170,20 @@ class Trainer:
                 print(f"Epoch {epoch + 1}/{epochs} [{nbatch} steps] {msg}",
                       flush=True)
             # -------- callbacks --------
+            if guard is not None and guard.check(logs):
+                if not guard.on_failure():
+                    print("NaNGuard: abort after repeated non-finite loss",
+                          flush=True)
+                    break
+                if checkpoint is not None and checkpoint.exists("best"):
+                    self.state = checkpoint.restore(self.state, "best")
+                    self._ensure_state_placement()
+                new_lr = logs["lr"] * guard.lr_factor
+                self.state = self.state.replace_lr(new_lr)
+                if verbose:
+                    print(f"NaNGuard: non-finite loss; restored best and "
+                          f"reduced lr to {new_lr:.3g}", flush=True)
+                continue
             if best is not None and best.is_best(logs):
                 checkpoint.save(self.state, "best")
             if rlrop is not None:
