@@ -58,3 +58,19 @@ def test_halo_conv_matches_unsharded():
     out = jax.jit(lambda x, k: halo_conv2d(x, k, mesh))(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_window_inference_1d():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        sharded_window_inference)
+    mesh = make_mesh(jax.devices(), data=8, model=1)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2)
+    tr = Trainer(model, mesh=mesh)
+    tr.init_state(np.zeros((1, 64, 1), np.float32))
+    tr._build_steps()
+    tr._ensure_state_placement()
+    sig = np.random.default_rng(0).random((1000, 1)).astype(np.float32)
+    out = sharded_window_inference(tr._predict_step, tr.state, sig,
+                                   window=64, overlap_ratio=0.5, mesh=mesh)
+    assert out.shape == (1000, 1)
+    assert np.isfinite(out).all()

@@ -9,4 +9,7 @@ from .mesh import (  # noqa: F401
     shard_batch,
 )
 from .sharding_rules import param_shardings, state_shardings  # noqa: F401
-from .spatial import sharded_patch_inference  # noqa: F401
+from .spatial import (  # noqa: F401
+    sharded_patch_inference,
+    sharded_window_inference,
+)

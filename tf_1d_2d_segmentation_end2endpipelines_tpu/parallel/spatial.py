@@ -48,3 +48,43 @@ def sharded_patch_inference(
     pred = np.asarray(jax.device_get(pred[out_key]))[:n]
     return unpatchify(pred.astype(np.float32),
                       image.shape[:2], overlap_ratio)
+
+
+def sharded_window_inference(
+    predict_fn: tp.Callable,
+    state,
+    signal: np.ndarray,
+    window: int,
+    overlap_ratio: float,
+    mesh,
+    out_key: str = "out",
+) -> np.ndarray:
+    """1D analog of ``sharded_patch_inference``: a long signal (the
+    reference trains 21600-sample sequences at batch 1, 1D notebook cell
+    29) is split into overlapping windows, predicted in one mesh-sharded
+    call, and overlap-averaged back together."""
+    sig = np.asarray(signal, np.float32)
+    if sig.ndim == 1:
+        sig = sig[:, None]
+    L = sig.shape[0]
+    step = max(int(window * (1 - overlap_ratio)), 1)
+    starts = list(range(0, max(L - window, 0) + 1, step))
+    if not starts:
+        starts = [0]
+    if starts[-1] + window < L:  # cover the tail
+        starts.append(L - window)
+    wins = np.stack([sig[s:s + window] for s in starts], 0)
+    n = wins.shape[0]
+    n_dev = mesh.shape["data"]
+    pad = (-n) % n_dev
+    if pad:
+        wins = np.concatenate(
+            [wins, np.zeros((pad, *wins.shape[1:]), wins.dtype)], 0)
+    x = shard_batch(mesh, wins)
+    pred = np.asarray(jax.device_get(predict_fn(state, x)[out_key]))[:n]
+    acc = np.zeros((L, pred.shape[-1]), np.float64)
+    cnt = np.zeros((L, 1), np.float64)
+    for k, s0 in enumerate(starts):
+        acc[s0:s0 + window] += pred[k]
+        cnt[s0:s0 + window] += 1.0
+    return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
