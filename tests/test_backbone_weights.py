@@ -168,3 +168,28 @@ def test_mobilenet_v1_tap_parity():
         assert got.shape == ref.shape, (name, got.shape, ref.shape)
         diff = float(np.max(np.abs(got - ref)))
         assert diff < 1e-3, f"{name}: {diff}"
+
+
+def test_efficientnetv2b0_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("EfficientNetV2B0")
+    x = (np.random.default_rng(6).uniform(0, 255, (1, 64, 64, 3))
+         ).astype(np.float32)
+    variables, kmodel = load_backbone_weights("EfficientNetV2B0", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["block1a_project_activation", "block2b_expand_activation",
+             "block4a_expand_activation", "block6a_expand_activation",
+             "top_activation"]
+    kref = tf.keras.Model(kmodel.input,
+                          [kmodel.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        diff = float(np.max(np.abs(got - ref)))
+        assert diff < 1e-3, f"{name}: {diff}"

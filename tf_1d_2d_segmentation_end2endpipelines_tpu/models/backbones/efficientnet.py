@@ -158,53 +158,86 @@ class EfficientNetV2Backbone(nn.Module):
               (3, 7, 640, 6, 1, False, .25)],
     }
 
+    #: keras.applications stem filters per size
+    _STEM = {"b0": 32, "b1": 32, "b2": 32, "b3": 40, "s": 24, "m": 24,
+             "l": 32}
+
     def _block(self, h, k, cout, expand, stride, fused, se_ratio, train):
         cin = h.shape[-1]
         y = h
+        expand_act = None
         if fused:
             if expand != 1:
                 y = _conv(y, cin * expand, k, stride, self.dtype)
                 y = nn.swish(_bn(y, train, self.dtype))
+                expand_act = y
                 y = _conv(y, cout, 1, 1, self.dtype)
                 y = _bn(y, train, self.dtype)
             else:
                 y = _conv(y, cout, k, stride, self.dtype)
                 y = nn.swish(_bn(y, train, self.dtype))
+                expand_act = y  # 'project_activation' of an e=1 fused
+                # block is this pre-residual activation
         else:
             if expand != 1:
                 y = _conv(y, cin * expand, 1, 1, self.dtype)
                 y = nn.swish(_bn(y, train, self.dtype))
+                expand_act = y
             c = y.shape[-1]
             y = _conv(y, c, k, stride, self.dtype, groups=c)
             y = nn.swish(_bn(y, train, self.dtype))
             if se_ratio:
+                # SE as 1x1 convs on input-filter count (keras layout)
                 se_c = max(1, int(cin * se_ratio))
-                s = jnp.mean(y, axis=(1, 2))
-                s = nn.swish(nn.Dense(se_c, dtype=self.dtype,
-                                      param_dtype=jnp.float32)(s))
-                s = nn.sigmoid(nn.Dense(c, dtype=self.dtype,
-                                        param_dtype=jnp.float32)(s))
-                y = y * s[:, None, None, :]
+                s = jnp.mean(y, axis=(1, 2), keepdims=True)
+                s = nn.Conv(se_c, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32)(s)
+                s = nn.swish(s)
+                s = nn.Conv(c, (1, 1), dtype=self.dtype,
+                            param_dtype=jnp.float32)(s)
+                y = y * nn.sigmoid(s)
             y = _conv(y, cout, 1, 1, self.dtype)
             y = _bn(y, train, self.dtype)
         if stride == 1 and cin == cout:
             y = y + h
-        return y
+        return y, expand_act
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         cfg = self._CFG[self.size]
         taps = [x]
-        h = _conv(x, cfg[0][2], 3, 2, self.dtype)
+        # keras.applications V2 preprocessing (weightless layers): B variants
+        # rescale 1/255 + ImageNet normalization constants; S/M/L rescale
+        # to [-1, 1]
+        if self.size.startswith("b"):
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            h = ((x.astype(jnp.float32) / 255.0 - mean) / std
+                 ).astype(self.dtype)
+        else:
+            h = (x.astype(jnp.float32) / 128.0 - 1.0).astype(self.dtype)
+        h = _conv(h, self._STEM[self.size], 3, 2, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
-        for (k, reps, cout, expand, stride, fused, se) in cfg:
+        # reference tap scheme (EffV2B0, unet_variants.py:2943-2964):
+        # block1a project act (s2), block2b expand act (s4), block4a expand
+        # act (s8), block6a expand act (s16), top (s32) -- i.e. the output
+        # of (stage0, block0) and the expand activations of (stage1,
+        # block1), (stage3, block0), (stage5, block0).  Exact for the
+        # 6-stage B0-B3 layouts; S/M/L share the first 6 stages.
+        tap_expand = {(1, 1), (3, 0), (5, 0)}
+        for stage, (k, reps, cout, expand, stride, fused, se) in enumerate(cfg):
             for b in range(reps):
                 s = stride if b == 0 else 1
-                if s == 2:
-                    taps.append(h)
-                h = self._block(h, k, cout, expand, s, fused, se, train)
+                h, expand_act = self._block(h, k, cout, expand, s, fused,
+                                            se, train)
+                if stage == 0 and b == 0:
+                    # block1a project_activation (pre-residual; for the B
+                    # variants cin != cout so it equals the block output)
+                    taps.append(expand_act if expand_act is not None else h)
+                elif (stage, b) in tap_expand and expand_act is not None:
+                    taps.append(expand_act)
         h = _conv(h, 1280, 1, 1, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
-        taps.append(h)
+        taps.append(h)  # top_activation, stride 32
         return taps
