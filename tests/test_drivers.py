@@ -103,3 +103,25 @@ def test_cli_module_entry(tmp_path):
         env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.isdir(os.path.join(cfg.save_dir, "Fold_1", "best"))
+
+
+def test_train_test_with_patchify_and_ds(tmp_path):
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=4, size=64)
+    _write_dataset(str(data / "Test"), n=2, size=64)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=64, imwidth=64, model_width=4, model_depth=2,
+        decoder_name="UNetPP", batch_size=1, num_epochs=1,
+        patchify=True, patch_width=32, patch_height=32, overlap_ratio=0.5,
+        d_s=1, ds_type="UNetPP", monitor_param="loss",
+        save_dir=str(tmp_path / "R"), load_weights=False)
+    hist = run_train(config=cfg)
+    assert len(hist[1]["loss"]) == 1
+    tcfg = EvalConfig(
+        test_dir=str(data / "Test"), imheight=64, imwidth=64,
+        decoder_name="UNetPP", class_number=1, patchify=True,
+        patch_width=32, patch_height=32, overlap_ratio=0.5, d_s=1,
+        start_fold=1, end_fold=1, save_dir=str(tmp_path / "R"))
+    reports = run_test(config=tcfg, train_config=cfg)
+    assert 0 <= reports[1]["overall_accuracy"] <= 100
