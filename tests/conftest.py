@@ -2,6 +2,10 @@
 run without TPUs (SURVEY.md §4 test strategy, item c)."""
 import os
 
+# TF's oneDNN kernels reorder float reductions (~1e-3 deviations); parity
+# fixtures need deterministic reference numerics
+os.environ["TF_ENABLE_ONEDNN_OPTS"] = "0"
+
 # the session environment pins JAX_PLATFORMS=axon (the real-TPU tunnel) and a
 # sitecustomize registers the plugin at interpreter start; tests must run on
 # the virtual CPU mesh, so override and reset any already-initialized backend
@@ -14,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU's default conv/matmul precision truncates (~2.5e-3 relative);
+# parity fixtures need full f32 accumulation
+jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the zoo tests compile ~40 small models; on the
 # single-core CI host recompiling every run would dominate test time
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -193,3 +193,52 @@ def test_efficientnetv2b0_tap_parity():
         assert got.shape == ref.shape, (name, got.shape, ref.shape)
         diff = float(np.max(np.abs(got - ref)))
         assert diff < 1e-3, f"{name}: {diff}"
+
+
+def test_resnet50v2_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("ResNet50V2")
+    x = np.random.default_rng(8).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kmodel = load_backbone_weights("ResNet50V2", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    # stage taps are two-tensor concats (unet_variants.py:1288-1319)
+    pair = ["conv2_block3_1_relu", "conv2_block3_preact_relu"]
+    refs = [np.asarray(t) for t in tf.keras.Model(
+        kmodel.input, [kmodel.get_layer(n).output for n in pair])(
+        x, training=False)]
+    got = np.asarray(taps[2])
+    np.testing.assert_allclose(got, np.concatenate(refs, -1), atol=1e-4)
+    ref_post = np.asarray(tf.keras.Model(
+        kmodel.input, kmodel.get_layer("post_relu").output)(
+        x, training=False))
+    np.testing.assert_allclose(np.asarray(taps[5]), ref_post, atol=1e-4)
+
+
+def test_efficientnetv2s_tap_parity():
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    bb = get_backbone("EfficientNetV2S")
+    x = (np.random.default_rng(7).uniform(0, 255, (1, 64, 64, 3))
+         ).astype(np.float32)
+    variables, kmodel = load_backbone_weights("EfficientNetV2S", bb, x,
+                                              weights=None)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["block1a_project_activation", "block2b_expand_activation",
+             "block4a_expand_activation", "block6a_expand_activation",
+             "top_activation"]
+    kref = tf.keras.Model(kmodel.input,
+                          [kmodel.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, name
+        assert float(np.max(np.abs(got - ref))) < 1e-3, name

@@ -89,9 +89,15 @@ class ResNetV2Backbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         taps = [x]
-        h = _conv(x, 64, 7, 2, self.dtype)
+        # keras.applications v2 stem: ZeroPad(3) + VALID 7x7 s2 (with bias,
+        # no BN -- pre-activation design), ZeroPad(1) + VALID 3x3 maxpool
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
         taps.append(h)  # 'conv1_conv', stride 2
-        h = _maxpool(h)
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1), "VALID")
         feats = 64
         for stage, n_blocks in enumerate(self.blocks):
             stage_pair = None
@@ -108,7 +114,11 @@ class ResNetV2Backbone(nn.Module):
                     shortcut = h
                 y = _conv(preact, feats, 1, 1, self.dtype, use_bias=False)
                 y1 = nn.relu(_bn(y, train, self.dtype))
-                y = _conv(y1, feats, 3, stride, self.dtype, use_bias=False)
+                # keras v2 pads (1,1) + VALID for the 3x3 (differs from
+                # SAME's (0,1) alignment when stride == 2)
+                y = nn.Conv(feats, (3, 3), strides=(stride, stride),
+                            padding=[(1, 1), (1, 1)], use_bias=False,
+                            dtype=self.dtype, param_dtype=jnp.float32)(y1)
                 y = nn.relu(_bn(y, train, self.dtype))
                 y = _conv(y, feats * 4, 1, 1, self.dtype)
                 h = y + shortcut

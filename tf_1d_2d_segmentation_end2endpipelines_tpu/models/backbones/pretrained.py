@@ -7,15 +7,14 @@ local ``.h5`` when provided, else ``weights=None``), then convert by call
 order (``utils.keras_compat``).
 
 Exactness status per family:
-- VGG16/19, DenseNet121/169/201 (incl. CheXNet), ResNet50/101/152,
-  MobileNet V1/V2, EfficientNet B0-B7, EfficientNetV2B0: exact (tap-level
-  fixtures in tests/test_backbone_weights.py, <1e-3)
-- EfficientNetV2 B1-B3/S/M/L: same conversion path; random-init tap
-  deviation up to ~3e-2 (deep f32 reassociation noise at random scale --
-  tighten next round)
-- MobileNetV3, ResNetV2, InceptionV3/IRV2: architecture-faithful but tap
+- VGG16/19, DenseNet121/169/201 (incl. CheXNet), ResNet50/101/152 (+V2),
+  MobileNet V1/V2, EfficientNet B0-B7 and V2 B0-B3/S/M/L: exact
+  (tap-level fixtures in tests/test_backbone_weights.py; compare with
+  jax_default_matmul_precision='highest' -- XLA:CPU's default conv
+  precision truncates at ~2.5e-3 relative)
+- MobileNetV3 and InceptionV3/IRV2: architecture-faithful but tap
   semantics approximated (the reference taps fragile auto-numbered layer
-  names / two-tensor concats) -- documented at the implementation sites.
+  names) -- documented at the implementation sites.
 """
 from __future__ import annotations
 
@@ -33,6 +32,9 @@ KERAS_BUILDERS = {
     "ResNet50": ("tensorflow.keras.applications", "ResNet50"),
     "ResNet101": ("tensorflow.keras.applications", "ResNet101"),
     "ResNet152": ("tensorflow.keras.applications", "ResNet152"),
+    "ResNet50V2": ("tensorflow.keras.applications", "ResNet50V2"),
+    "ResNet101V2": ("tensorflow.keras.applications", "ResNet101V2"),
+    "ResNet152V2": ("tensorflow.keras.applications", "ResNet152V2"),
     "MobileNet": ("tensorflow.keras.applications", "MobileNet"),
     "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
     "EfficientNetB0": ("tensorflow.keras.applications", "EfficientNetB0"),
@@ -53,7 +55,8 @@ KERAS_BUILDERS = {
 }
 
 EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
-                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152", "MobileNet",
+                  "DenseNet201", "ResNet50", "ResNet101", "ResNet152",
+                  "ResNet50V2", "ResNet101V2", "ResNet152V2", "MobileNet",
                   "MobileNetV2",
                   "EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
                   "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
