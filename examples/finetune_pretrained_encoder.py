@@ -1,7 +1,7 @@
 """Two-stage training with a pretrained encoder (the reference's fine-tune
 flow, 2D notebook cells 53-55): stage 1 trains with the backbone frozen,
 stage 2 reloads the checkpoint, unfreezes, and drops the LR."""
-import numpy as np
+
 
 from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (
     batches, synthetic_images)

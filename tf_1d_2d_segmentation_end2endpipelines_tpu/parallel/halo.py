@@ -9,12 +9,10 @@ the unsharded SAME convolution, with no patch-seam effects.
 """
 from __future__ import annotations
 
-import functools
-import typing as tp
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 

@@ -8,9 +8,7 @@ monitored metric (callbacks.BestTracker).
 from __future__ import annotations
 
 import os
-import typing as tp
 
-import jax
 import orbax.checkpoint as ocp
 
 from .state import TrainState

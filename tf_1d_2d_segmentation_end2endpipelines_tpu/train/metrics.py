@@ -13,7 +13,6 @@ match the reference's compiled metrics.
 from __future__ import annotations
 
 import typing as tp
-from functools import partial
 
 import jax
 import jax.numpy as jnp
