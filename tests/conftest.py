@@ -22,9 +22,24 @@ jax.config.update("jax_platforms", "cpu")
 # parity fixtures need full f32 accumulation
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the zoo tests compile ~40 small models; on the
-# single-core CI host recompiling every run would dominate test time
+# single-core CI host recompiling every run would dominate test time.
+# Keyed by host-CPU fingerprint: XLA:CPU AOT results replayed on a different
+# machine can SIGILL (observed across round hosts).
+import hashlib
+import platform
+
+_feat = ""
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith(("flags", "model name")):
+                _feat = _line
+                break
+except OSError:
+    pass
+_mkey = hashlib.md5((platform.machine() + _feat).encode()).hexdigest()[:8]
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_cache")
+                      f".jax_cache-{_mkey}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
