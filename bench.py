@@ -1,11 +1,21 @@
-"""Benchmark: UNet++ 256² bf16 train-step throughput (images/sec/chip).
+"""Benchmark: UNet++ 256² bf16 train-step throughput (images/sec/chip)
+plus p50 single-image inference latency.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 computed against the first recorded run of this benchmark on this hardware
 (stored in BENCH_BASELINE.json at round 1) -- it tracks relative progress
-across rounds; >1.0 means faster than the round-1 framework.
+across rounds; >1.0 means faster than the round-1 framework.  The true
+north-star denominator (the Keras reference itself on this TPU) is measured
+separately by benchmarks/keras_denominator.py and recorded in
+benchmarks/RESULTS.json.
+
+Latency notes: under the axon TPU tunnel, ``block_until_ready`` does not
+wait for remote execution, so every timing fence is a host fetch of a
+dependent scalar -- which adds a tunnel round-trip to each sample.  The
+tunnel round-trip is measured on a trivial jitted op and reported both raw
+and subtracted ("tunnel-corrected").
 """
 import json
 import os
@@ -18,15 +28,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: first compile through the remote-compile
-    # tunnel costs minutes; subsequent bench runs reuse the executable
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_tpu_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
 
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
     from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
@@ -55,9 +58,7 @@ def main() -> None:
                    donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})
 
-    # warmup / compile.  NOTE: under the axon TPU tunnel,
-    # block_until_ready() does not actually wait for remote execution, so
-    # all timing fences are host fetches of a dependent scalar.
+    # warmup / compile (host fetches fence remote execution, see module doc)
     for _ in range(3):
         state, loss, _ = step(state, b["x"], b["y"], ())
     float(loss)
@@ -71,6 +72,29 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     ips = batch * iters / dt / n_chips
+
+    # ---- p50 single-image inference latency (BASELINE.json metric b) ----
+    infer = jax.jit(lambda params, bs, xi: model.apply(
+        {"params": params, "batch_stats": bs} if bs else {"params": params},
+        xi, train=False)["out"])
+    params, bs = state.params, state.batch_stats
+    xi = jnp.asarray(x[:1])
+    float(infer(params, bs, xi).sum())  # compile
+    lat = []
+    for _ in range(30 if on_tpu else 5):
+        t0 = time.perf_counter()
+        float(infer(params, bs, xi).sum())  # fetch = fence (incl. tunnel)
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat)) * 1e3
+    # tunnel round-trip on a trivial jitted op (same fence mechanics)
+    tiny = jax.jit(lambda v: v + 1.0)
+    float(tiny(jnp.float32(0)))
+    rtt = []
+    for _ in range(30 if on_tpu else 5):
+        t0 = time.perf_counter()
+        float(tiny(jnp.float32(0)))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt)) * 1e3
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -90,6 +114,9 @@ def main() -> None:
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
+        "p50_infer_ms": round(p50_ms, 2),
+        "p50_infer_ms_tunnel_corrected": round(max(p50_ms - rtt_ms, 0.0), 2),
+        "tunnel_roundtrip_ms": round(rtt_ms, 2),
     }))
 
 

@@ -125,3 +125,40 @@ def test_train_test_with_patchify_and_ds(tmp_path):
         start_fold=1, end_fold=1, save_dir=str(tmp_path / "R"))
     reports = run_test(config=tcfg, train_config=cfg)
     assert 0 <= reports[1]["overall_accuracy"] <= 100
+
+
+def _write_multiclass_dataset(root, n=3, size=32, n_fg=2):
+    """Ordinal masks: class-k region painted with pixel value k."""
+    rng = np.random.default_rng(0)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n):
+        img = (rng.uniform(0, 255, (size, size, 3))).astype(np.uint8)
+        msk = np.zeros((size, size), np.uint8)
+        msk[4:24, 4:24] = 1      # class 1 (e.g. kidney)
+        msk[10:16, 10:16] = 2    # class 2 inside it (e.g. tumor)
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i}.png"))
+        Image.fromarray(msk).save(os.path.join(root, "masks", f"{i}.png"))
+
+
+def test_multiclass_test_driver(tmp_path):
+    """class_number=2: predictions map into the SAME 0..2 ordinal label
+    space as the masks (reference Test.py:169-175 sum-of-binarized rule);
+    every row/col of the 3x3 report is reachable."""
+    data = tmp_path / "Data"
+    _write_multiclass_dataset(str(data / "Test"), n=2)
+    cfg = TrainConfig(
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", output_nums=2, class_number=2,
+        final_activation="sigmoid", save_dir=str(tmp_path / "R"))
+    tcfg = EvalConfig(
+        test_dir=str(data / "Test"), imheight=32, imwidth=32,
+        decoder_name="UNet", class_number=2, threshold=0.5,
+        normalizing_factor_msk=1.0,
+        start_fold=1, end_fold=1, save_dir=str(tmp_path / "R"))
+    reports = run_test(config=tcfg, train_config=cfg)
+    rep = reports[1]
+    assert rep["confusion_matrix"].shape == (3, 3)
+    assert rep["per_class"].shape == (3, 7)
+    # ground-truth rows must show all three ordinal labels
+    assert (rep["confusion_matrix"].sum(axis=1) > 0).all()

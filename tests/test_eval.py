@@ -59,3 +59,14 @@ def test_nilm_metrics():
     assert abs(calculate_deoi(g, p2) - round(7.0 / 7.5, 4)) < 1e-9
     err = construction_error(g + 1, p2 + 1)  # +1 avoids zero-variance skip
     assert np.isfinite(err["MAE"]) and np.isfinite(err["PCC"])
+
+
+def test_confusion_matrix_int64_exact_above_2_24():
+    """Counts past 2**24 must stay integer-exact (float32 accumulation
+    silently rounds: 2**24 + 1 == 2**24 in f32)."""
+    cm = init_confusion_matrix(2)
+    assert cm.dtype == np.int64
+    cm[0, 0] = 2 ** 24
+    cm = confusion_matrix_update(cm, np.zeros(3, np.int32),
+                                 np.zeros(3, np.int32))
+    assert cm[0, 0] == 2 ** 24 + 3

@@ -7,7 +7,7 @@ from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel, UNet1D
 from tf_1d_2d_segmentation_end2endpipelines_tpu.models.mlmrsnet import MLMRSNet
 from tf_1d_2d_segmentation_end2endpipelines_tpu.models.saunet import SAUNet
 from tf_1d_2d_segmentation_end2endpipelines_tpu.models.specials_1d import (
-    BCDUNet, IBAUNet, SEDUNet)
+    BCDUNet, IBAUNet, NABNet, SEDUNet)
 
 from test_model_zoo import ARCHS_1D_FULL, DECODERS_2D_FULL, _run
 
@@ -42,6 +42,7 @@ def test_1d_arch_builds_full(arch):
     (BCDUNet, dict(lstm=1, ag=1, dense_loop=2)),
     (SEDUNet, dict(lstm=1, se_ratio=4)),
     (IBAUNet, dict(ag=1)),
+    (NABNet, dict(dense_loop=2)),
 ])
 def test_1d_specials(cls, kw):
     x = jnp.ones((1, 32, 1))

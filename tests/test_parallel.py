@@ -74,3 +74,58 @@ def test_sharded_window_inference_1d():
                                    window=64, overlap_ratio=0.5, mesh=mesh)
     assert out.shape == (1000, 1)
     assert np.isfinite(out).all()
+
+
+def test_state_shardings_match_by_path_not_shape():
+    """A non-kernel leaf sharing a kernel's shape must stay replicated;
+    optax moments (path ends in .../kernel) must shard like their params."""
+    mesh = make_mesh(jax.devices(), data=4, model=2)
+    model = SegModel(decoder_name="UNet", model_width=8, model_depth=2)
+    opt = make_optimizer("Adam", 1e-3)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x), opt)
+    # plant a decoy batch_stats leaf with a kernel's exact shape
+    kshape = None
+    def find_kernel(path, leaf):
+        nonlocal kshape
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name == "kernel" and np.ndim(leaf) == 4 and kshape is None:
+            kshape = np.shape(leaf)
+        return leaf
+    jax.tree_util.tree_map_with_path(find_kernel, state.params)
+    assert kshape is not None and kshape[-1] % 2 == 0
+    bs = dict(state.batch_stats)
+    bs["decoy"] = {"mean": jnp.zeros(kshape)}
+    state = state.replace(batch_stats=bs)
+    sh = state_shardings(mesh, state)
+    assert "model" not in str(sh.batch_stats["decoy"]["mean"].spec)
+    # Adam mu for that kernel shards over 'model'
+    specs = []
+    def collect(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name == "kernel" and len(getattr(leaf, "spec", ())) == 4:
+            specs.append(str(leaf.spec))
+        return leaf
+    jax.tree_util.tree_map_with_path(collect, sh.opt_state)
+    assert any("model" in s for s in specs), specs
+
+
+def test_halo_conv_degenerate_kernels():
+    """kh==1 means zero halo: must match the unsharded conv (x[-0:] would
+    otherwise duplicate a whole shard); even kernels are rejected."""
+    import pytest as _pytest
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel.halo import (
+        halo_conv2d)
+    mesh = make_mesh(jax.devices()[:4], data=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    for kh, kw in ((1, 3), (1, 1), (3, 1)):
+        k = jnp.asarray(rng.normal(size=(kh, kw, 3, 4)).astype(np.float32))
+        got = halo_conv2d(x, k, mesh)
+        want = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+    with _pytest.raises(ValueError):
+        halo_conv2d(x, jnp.zeros((2, 2, 3, 4)), mesh)

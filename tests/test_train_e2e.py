@@ -79,3 +79,63 @@ def test_nan_guard_recovers():
     guard = NaNGuard(max_restores=2)
     tr.fit(batches(x, y, 4), epochs=6, callbacks=[guard], verbose=0)
     assert guard.restores >= 1  # guard engaged (rescued or aborted)
+
+
+def test_nan_guard_reinit_without_checkpoint():
+    """NaN on the very first epochs with NO checkpoint: the guard must
+    re-initialize params (LR backoff alone cannot heal non-finite params)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import NaNGuard
+    x, y = synthetic_signals(8, length=128)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation=None)
+    tr = Trainer(model, loss="MeanSquaredError", learning_rate=1e21)
+    tr.init_state(x[:4])
+    guard = NaNGuard(max_restores=3)
+    tr.fit(batches(x, y, 4), epochs=3, callbacks=[guard], verbose=0)
+    assert guard.restores >= 1
+    leaves = jax.tree.leaves(tr.state.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves), \
+        "params still non-finite after NaNGuard recovery without checkpoint"
+
+
+def test_dropout_stream_depends_on_seed():
+    """Dropout noise must differ across trainer seeds (reproducibility is
+    seed-controlled, not hardwired to PRNGKey(0))."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SAUNet
+    x = np.random.default_rng(0).normal(size=(4, 64, 1)).astype(np.float32)
+    y = np.random.default_rng(1).normal(size=(4, 64, 1)).astype(np.float32)
+    model = SAUNet(64, 2, 1, 4, 3).SAUNet()
+    ref = Trainer(model, loss="MeanSquaredError", learning_rate=0.0, seed=0)
+    state0 = jax.device_get(ref.init_state(x))
+    losses = {}
+    for seed in (0, 1):
+        tr = Trainer(model, loss="MeanSquaredError", learning_rate=0.0,
+                     seed=seed)
+        tr.init_state(x)
+        tr.state = jax.tree.map(np.asarray, state0)  # identical params
+        tr.fit(batches(x, y, 4), epochs=1, verbose=0)
+        losses[seed] = tr.history["loss"][0]
+    # identical params/data, lr=0: only the dropout stream differs by seed
+    assert losses[0] != losses[1]
+
+
+def test_nabnet_builds_and_trains_1d():
+    """NABNet (reference README.md model #10, no reference code —
+    capability parity): builds 1D with DS, loss decreases on synthetic
+    signals (BASELINE config 5)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import NABNet
+    x, y = synthetic_signals(8, length=64)
+    model = NABNet(model_width=4, model_depth=2, dense_loop=2,
+                   problem_type="Regression")
+    tr = Trainer(model, loss="MeanSquaredError", learning_rate=3e-3)
+    tr.init_state(x[:4])
+    tr.fit(batches(x, y, 4), epochs=4, verbose=0)
+    hist = tr.history["loss"]
+    assert hist[-1] < hist[0]
+    # DS build produces level heads
+    ds = NABNet(model_width=4, model_depth=2, ds=1,
+                problem_type="Regression")
+    v = ds.init(jax.random.PRNGKey(0), x[:1], train=False)
+    out = ds.apply(v, x[:1], train=False)
+    assert set(out) == {"out", "level1", "level2"}
+    assert out["out"].shape == (1, 64, 1)

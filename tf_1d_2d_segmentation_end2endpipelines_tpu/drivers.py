@@ -43,7 +43,8 @@ from .train import (
     Trainer,
     default_ds_weights,
 )
-from .utils.config import TestConfig, TrainConfig, load_test_config, load_train_config
+from .utils.config import (TestConfig, TrainConfig, load_test_config,
+                           load_train_config, save_train_config)
 
 
 def _build_model(cfg: TrainConfig, dtype=jnp.float32):
@@ -87,6 +88,14 @@ def train(config_path: str = "Train_Configs.ini",
     """Fold-loop training driver.  Returns {fold: history}."""
     cfg = config if config is not None else load_train_config(config_path)
     histories: tp.Dict[int, tp.Dict[str, tp.List[float]]] = {}
+    # persist the model-defining config with the artifacts so a standalone
+    # `test` run can rebuild the exact architecture (the reference instead
+    # reloads the full .keras graph, Test.py:110-116 — weights-only orbax
+    # checkpoints need the config to reconstruct)
+    if cfg.save_dir:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        save_train_config(cfg, os.path.join(cfg.save_dir,
+                                            "Train_Configs.ini"))
     for fold in range(cfg.start_fold, cfg.end_fold + 1):
         model = _build_model(cfg, dtype=dtype)
         size = (cfg.imlength, cfg.imwidth)
@@ -199,18 +208,25 @@ def test(config_path: str = "Test_Configs.ini",
          dtype=jnp.float32) -> tp.Dict[int, tp.Dict[str, tp.Any]]:
     """Fold-loop evaluation driver.  Returns {fold: report dict}."""
     cfg = config if config is not None else load_test_config(config_path)
-    tcfg = train_config or TrainConfig(
-        imlength=cfg.imheight, imwidth=cfg.imwidth,
-        num_channels=cfg.num_channels,
-        encoder_mode=cfg.encoder_mode, encoder_name=cfg.encoder_name,
-        decoder_name=cfg.decoder_name, d_s=cfg.d_s,
-        output_nums=max(cfg.class_number, 1),
-        save_dir=cfg.save_dir)
+    tcfg = train_config
+    if tcfg is None:
+        saved = os.path.join(cfg.save_dir or ".", "Train_Configs.ini")
+        if os.path.exists(saved):
+            # architecture persisted by the train driver (exact rebuild)
+            tcfg = load_train_config(saved)
+        else:
+            tcfg = TrainConfig(
+                imlength=cfg.imheight, imwidth=cfg.imwidth,
+                num_channels=cfg.num_channels,
+                encoder_mode=cfg.encoder_mode, encoder_name=cfg.encoder_name,
+                decoder_name=cfg.decoder_name, d_s=cfg.d_s,
+                output_nums=max(cfg.class_number, 1),
+                save_dir=cfg.save_dir)
     labels = list(cfg.labels) or [f"class_{i}"
                                   for i in range(cfg.class_number + 1)]
     n_classes = len(labels)
     reports: tp.Dict[int, tp.Dict[str, tp.Any]] = {}
-    cm_total = np.zeros((n_classes, n_classes))
+    cm_total = np.zeros((n_classes, n_classes), np.int64)
     for fold in range(cfg.start_fold, cfg.end_fold + 1):
         model = _build_model(tcfg, dtype=dtype)
         trainer = Trainer(model)
@@ -252,7 +268,12 @@ def test(config_path: str = "Test_Configs.ini",
                 pred_lbl = (pred[..., 0] > cfg.threshold).astype(np.int32)
                 true_lbl = (msk[..., 0] > cfg.threshold).astype(np.int32)
             else:
-                pred_lbl = np.argmax(pred, axis=-1).astype(np.int32)
+                # reference Test.py:169-175: binarize each of the
+                # class_number foreground channels at the threshold and SUM
+                # — ordinal mask encodings (e.g. tumor-within-kidney) yield
+                # labels 0..class_number, matching the mask label space and
+                # the (class_number+1)-entry report
+                pred_lbl = (pred > cfg.threshold).astype(np.int32).sum(-1)
                 true_lbl = msk[..., 0].astype(np.int32)
             cm = confusion_matrix_update(cm, jnp.asarray(true_lbl),
                                          jnp.asarray(pred_lbl))

@@ -16,21 +16,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@jax.jit
-def confusion_matrix_update(cm: jax.Array, y_true: jax.Array,
-                            y_pred: jax.Array) -> jax.Array:
-    """Accumulate a (C, C) confusion matrix from int label arrays."""
-    n = cm.shape[0]
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=2)
+def _batch_confusion_counts(y_true: jax.Array, y_pred: jax.Array,
+                            n: int) -> jax.Array:
+    """Per-batch (C, C) int32 counts via one fused bincount on device."""
     t = y_true.reshape(-1).astype(jnp.int32)
     p = y_pred.reshape(-1).astype(jnp.int32)
     idx = t * n + p
-    counts = jnp.bincount(idx, length=n * n)
-    return cm + counts.reshape(n, n).astype(cm.dtype)
+    return jnp.bincount(idx, length=n * n).reshape(n, n)
 
 
-def init_confusion_matrix(num_classes: int) -> jax.Array:
-    return jnp.zeros((num_classes, num_classes), jnp.float64
-                     if jax.config.jax_enable_x64 else jnp.float32)
+def confusion_matrix_update(cm: np.ndarray, y_true, y_pred) -> np.ndarray:
+    """Accumulate a (C, C) confusion matrix from int label arrays.
+
+    The per-batch counts run on device (int32 bincount, exact for any
+    realistic batch); the running total accumulates in int64 on the host so
+    counts never lose integer exactness (float32 silently rounds above
+    2**24 ≈ 16.7M px per cell)."""
+    n = np.shape(cm)[0]
+    counts = _batch_confusion_counts(jnp.asarray(y_true),
+                                     jnp.asarray(y_pred), n)
+    return np.asarray(cm, np.int64) + np.asarray(jax.device_get(counts),
+                                                 np.int64)
+
+
+def init_confusion_matrix(num_classes: int) -> np.ndarray:
+    return np.zeros((num_classes, num_classes), np.int64)
 
 
 def per_class_binary_counts(cm: np.ndarray) -> np.ndarray:

@@ -12,4 +12,4 @@ from .extra_1d import FPN, AlbUNet, LinkNet, TernausNet  # noqa: F401
 from .mlmrsnet import MLMRSNet  # noqa: F401
 from .saunet import SAUNet  # noqa: F401
 from .segmodel import SegModel, model_selector  # noqa: F401
-from .specials_1d import BCDUNet, IBAUNet, SEDUNet  # noqa: F401
+from .specials_1d import BCDUNet, IBAUNet, NABNet, SEDUNet  # noqa: F401

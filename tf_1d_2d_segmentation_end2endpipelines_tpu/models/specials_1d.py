@@ -285,3 +285,76 @@ class IBAUNet(_Special1DBase):
             deconv = concat(deconv, skip)
             deconv = RIBlock(feats, dtype=self.dtype)(deconv, train)
         return self._head(deconv, levels)
+
+
+class NABNet(_Special1DBase):
+    """NABNet — Nested Attention-guided BiConvLSTM Network.
+
+    The reference lists NABNet as model #10 (README.md:14, citation [9]
+    Mahmud et al., Biomedical Signal Processing and Control 79:104247,
+    2023) but ships NO code for it, so no numerical parity fixture is
+    possible; this is a capability-parity implementation assembled from
+    this package's own primitives per the paper's description:
+
+    - a UNet++-style nested dense-skip grid (the topology of
+      1DCNN/Models/unet_variants.py:544-646),
+    - every grid-node fusion attention-guided: each incoming same-row
+      tensor passes an AttentionGate gated by the node below,
+    - the gated aggregate merges with the upsampled below-node through a
+      genuine bidirectional two-step ConvLSTM (``ops.BiConvLSTM``) instead
+      of concatenation,
+    - over a BCDUNet-style densely-connected bottleneck
+      (Models/BCDUNet.py:70-76).
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False
+                 ) -> tp.Dict[str, jax.Array]:
+        from ..ops import BiConvLSTM
+        D, W, k = self.model_depth, self.model_width, self.kernel_size
+        x = x.astype(self.dtype)
+        # ---- encoder: double conv per level ----
+        skips: tp.List[jax.Array] = []
+        pool = x
+        for i in range(1, D + 1):
+            conv = ConvBlock(W * 2 ** (i - 1), k, dtype=self.dtype)(pool, train)
+            conv = ConvBlock(W * 2 ** (i - 1), k, dtype=self.dtype)(conv, train)
+            pool = downsample_pool(conv, 2, op="max")
+            skips.append(conv)
+        # ---- densely-connected bottleneck ----
+        conv = DenseConcatBlock(W * 2 ** D, k, num_layers=self.dense_loop - 1,
+                                dtype=self.dtype)(pool, train)
+        if self.ae == 1:
+            conv = FeatureExtractionBlock(W, self.feature_number,
+                                          dtype=self.dtype)(conv)
+        conv = ConvBlock(W * 2 ** D, k, dtype=self.dtype)(conv, train)
+        conv = ConvBlock(W * 2 ** D, k, dtype=self.dtype)(conv, train)
+        skips.append(conv)  # skips[D] = bottleneck (row-D source)
+
+        # ---- nested attention-guided BiConvLSTM grid ----
+        levels: tp.List[jax.Array] = []
+        if self.ds == 1:
+            levels.append(self._ds(skips[0], D))
+        nodes: tp.Dict[tp.Tuple[int, int], jax.Array] = {}
+        for i in range(1, D + 1):          # grid column
+            for j in range(0, D - i + 1):  # resolution row
+                src = skips[j + 1] if i == 1 else nodes[(j + 1, i - 1)]
+                width_j = W * (2 ** j)
+                parts = [skips[j]] + [nodes[(j, c)] for c in range(1, i)]
+                parts = [AttentionGate(width_j, dialect="1d",
+                                       dtype=self.dtype)(p, src, train)
+                         for p in parts]
+                agg = concat(*parts) if len(parts) > 1 else parts[0]
+                if agg.shape[-1] != width_j:
+                    # project the dense aggregate to the row width so it can
+                    # share the BiConvLSTM input conv with the upsampled node
+                    agg = ConvBlock(width_j, 1, dtype=self.dtype)(agg, train)
+                up = self._up(src, width_j, train)
+                fused = BiConvLSTM(max(width_j // 2, 1), k,
+                                   dtype=self.dtype)(agg, up)
+                node = ConvBlock(width_j, k, dtype=self.dtype)(fused, train)
+                node = ConvBlock(width_j, k, dtype=self.dtype)(node, train)
+                nodes[(j, i)] = node
+                if self.ds == 1 and j == 0 and i < D:
+                    levels.append(self._ds(node, D - i))
+        return self._head(nodes[(0, D)], levels)

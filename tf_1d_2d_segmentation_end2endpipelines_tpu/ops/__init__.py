@@ -4,6 +4,7 @@ from .blocks import (  # noqa: F401
     LEAKY_SLOPE,
     AttentionGate,
     ConvBlock,
+    BiConvLSTM,
     ConvLSTMCell,
     ConvLSTMFusion,
     ConvMixerBlock,

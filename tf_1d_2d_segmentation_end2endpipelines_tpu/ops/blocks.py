@@ -575,8 +575,14 @@ class ConvLSTMCell(nn.Module):
             4 * self.features, _tup(self.kernel, n), padding="SAME",
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype, param_dtype=jnp.float32, name="input_conv")(x)
-        # recurrent kernel exists (params parity) but h0 = 0 so it contributes
-        # nothing on a single step from the zero state; bias lives in input_conv.
+        # Keras ConvLSTM carries a recurrent kernel; with one timestep from
+        # the zero state its contribution (and its gradient) is identically
+        # zero, so it is created for param-count/checkpoint parity but never
+        # applied.  Bias lives in input_conv.
+        self.param("recurrent_kernel", nn.initializers.orthogonal(),
+                   tuple(_tup(self.kernel, n)) + (self.features,
+                                                  4 * self.features),
+                   jnp.float32)
         i, f, g, o = jnp.split(gates_x, 4, axis=-1)
         i = nn.sigmoid(i)
         f = nn.sigmoid(f)
@@ -598,3 +604,48 @@ class ConvLSTMFusion(nn.Module):
     def __call__(self, *tensors: jax.Array) -> jax.Array:
         merged = jnp.concatenate(tensors, axis=-1)
         return ConvLSTMCell(self.features, self.kernel, dtype=self.dtype)(merged)
+
+
+class BiConvLSTM(nn.Module):
+    """Bidirectional two-step ConvLSTM over a synthetic time axis of two
+    same-shape tensors (a fusion pair).
+
+    Unlike ``ConvLSTMCell`` (one step from the zero state, where the
+    recurrent kernel is inert), both directions here take TWO steps with
+    shared weights, so the recurrent kernel genuinely mixes the pair:
+    forward processes (a, b), backward processes (b, a); the output is the
+    concatenation of the two final hidden states (2*features channels).
+    The two steps are unrolled (no scan) — XLA fuses the gate math into the
+    four convolutions.  Building block for NABNet (reference README.md:14,
+    citation [9]); the reference ships no code for it.
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        n = _spatial_ndim(a)
+        f = self.features
+        conv_x = nn.Conv(4 * f, _tup(self.kernel, n), padding="SAME",
+                         kernel_init=nn.initializers.he_normal(),
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="input_conv")
+        conv_h = nn.Conv(4 * f, _tup(self.kernel, n), padding="SAME",
+                         kernel_init=nn.initializers.orthogonal(),
+                         use_bias=False, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="recurrent_conv")
+
+        def step(x, h, c):
+            gates = conv_x(x) if h is None else conv_x(x) + conv_h(h)
+            i, fg, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = nn.tanh(g) * nn.sigmoid(i) if c is None else \
+                nn.sigmoid(fg) * c + nn.sigmoid(i) * nn.tanh(g)
+            return nn.sigmoid(o) * nn.tanh(new_c), new_c
+
+        h, c = step(a, None, None)
+        h_fwd, _ = step(b, h, c)
+        h, c = step(b, None, None)
+        h_bwd, _ = step(a, h, c)
+        return jnp.concatenate([h_fwd, h_bwd], axis=-1)

@@ -44,7 +44,15 @@ def halo_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh,
     ``lax.conv_general_dilated(x, kernel, SAME)`` (validated in tests).
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if kh % 2 == 0 or kw % 2 == 0:
+        raise ValueError(f"halo_conv2d needs odd kernel dims, got {kh}x{kw}")
     halo = kh // 2
+    if halo == 0:
+        # kh == 1: no rows cross shard boundaries — a 1xkw conv is local to
+        # each H shard (and x[-0:] would wrongly take the whole shard below)
+        return jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(0, 0), (kw // 2, kw // 2)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def local(xs: jax.Array, k: jax.Array) -> jax.Array:
         # xs: (B, H/n, W, C) local shard with batch leading; operate on H

@@ -20,11 +20,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def param_shardings(mesh: Mesh, params) -> tp.Any:
-    """NamedSharding tree for a params pytree: kernels output-sharded over
-    'model' where divisible, everything else replicated."""
-    model_size = mesh.shape.get("model", 1)
-
+def _kernel_rule(mesh: Mesh, model_size: int):
+    """Path rule shared by params and full-state trees: leaves whose path
+    ends in 'kernel' with a divisible output-channel axis shard over
+    'model'; everything else replicates."""
     def rule(path, leaf) -> NamedSharding:
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
         shape = np.shape(leaf)
@@ -33,31 +32,22 @@ def param_shardings(mesh: Mesh, params) -> tp.Any:
             spec = [None] * (len(shape) - 1) + ["model"]
             return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
+    return rule
 
-    return jax.tree_util.tree_map_with_path(rule, params)
+
+def param_shardings(mesh: Mesh, params) -> tp.Any:
+    """NamedSharding tree for a params pytree: kernels output-sharded over
+    'model' where divisible, everything else replicated."""
+    model_size = mesh.shape.get("model", 1)
+    return jax.tree_util.tree_map_with_path(
+        _kernel_rule(mesh, model_size), params)
 
 
 def state_shardings(mesh: Mesh, state) -> tp.Any:
-    """Shardings for a full TrainState: params + matching opt-state moments
-    (optax moments mirror param shapes, so the same rule applies by shape;
-    non-array/scalar leaves replicate)."""
+    """Shardings for a full TrainState.  Optax moments mirror the params
+    tree, so their paths also end in '.../kernel' and the same path-based
+    rule shards them; matching by path (not shape coincidence) keeps
+    non-kernel leaves that happen to share a kernel's shape replicated."""
     model_size = mesh.shape.get("model", 1)
-    kernel_shapes = set()
-    if model_size > 1:
-        def collect(path, leaf):
-            name = str(path[-1].key) if hasattr(path[-1], "key") else ""
-            shape = np.shape(leaf)
-            if (name == "kernel" and len(shape) >= 2
-                    and shape[-1] % model_size == 0):
-                kernel_shapes.add(shape)
-            return leaf
-        jax.tree_util.tree_map_with_path(collect, state.params)
-
-    def rule(leaf) -> NamedSharding:
-        shape = np.shape(leaf)
-        if model_size > 1 and shape in kernel_shapes:
-            spec = [None] * (len(shape) - 1) + ["model"]
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
-
-    return jax.tree.map(rule, state)
+    return jax.tree_util.tree_map_with_path(
+        _kernel_rule(mesh, model_size), state)

@@ -15,7 +15,9 @@ from .state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 1):
+    def __init__(self, directory: str):
+        # no retention policy: each named checkpoint ("best", "last", ...)
+        # overwrites in place, matching Keras ModelCheckpoint(save_best_only)
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()

@@ -57,6 +57,7 @@ def make_train_step(
     loss_fn: LossFn,
     loss_weights: tp.Optional[tp.Dict[str, float]] = None,
     metrics: tp.Sequence[Metric] = (),
+    seed: int = 0,
 ) -> tp.Callable:
     """Build the fused train step: forward + DS loss + backward + update +
     metric accumulation, one compiled program."""
@@ -65,10 +66,10 @@ def make_train_step(
                    metric_states: tp.Tuple = ()):
         targets = _as_target_dict(y)
 
-        # dropout/DropBlock rngs, deterministic per step (SAUNet's
-        # DropBlock and AlbuNet's MLP dropout draw from the 'dropout'
-        # stream in train mode)
-        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0),
+        # dropout/DropBlock rngs: deterministic per step, derived from the
+        # trainer seed so different seeds/folds draw different noise
+        # (SAUNet's DropBlock and AlbuNet's MLP dropout use this stream)
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(seed),
                                               state.step)}
 
         def loss_inner(params):

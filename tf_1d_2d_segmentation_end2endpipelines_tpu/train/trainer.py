@@ -68,6 +68,7 @@ class Trainer:
     def init_state(self, sample_input: np.ndarray) -> TrainState:
         rng = jax.random.PRNGKey(self.seed)
         x = jnp.asarray(sample_input)
+        self._sample_input = x[:1]  # kept for NaNGuard re-initialization
         self.state = create_train_state(self.model, rng, x, self.optimizer)
         return self.state
 
@@ -75,7 +76,8 @@ class Trainer:
         if self._train_step is None:
             rep = replicated(self.mesh)
             step = make_train_step(self.model, self.optimizer, self.loss_fn,
-                                   self.loss_weights, self.metric_defs)
+                                   self.loss_weights, self.metric_defs,
+                                   seed=self.seed)
             self._train_step = jax.jit(step, donate_argnums=(0,))
             self._eval_step = jax.jit(
                 make_eval_step(self.model, self.loss_fn, self.loss_weights,
@@ -177,11 +179,20 @@ class Trainer:
                     break
                 if checkpoint is not None and checkpoint.exists("best"):
                     self.state = checkpoint.restore(self.state, "best")
-                    self._ensure_state_placement()
+                    recovery = "restored best"
+                else:
+                    # no checkpoint to fall back on: LR backoff cannot heal
+                    # non-finite params, so re-initialize from a fresh seed
+                    rng = jax.random.fold_in(
+                        jax.random.PRNGKey(self.seed), epoch + 1)
+                    self.state = create_train_state(
+                        self.model, rng, self._sample_input, self.optimizer)
+                    recovery = "re-initialized params"
+                self._ensure_state_placement()
                 new_lr = logs["lr"] * guard.lr_factor
                 self.state = self.state.replace_lr(new_lr)
                 if verbose:
-                    print(f"NaNGuard: non-finite loss; restored best and "
+                    print(f"NaNGuard: non-finite loss; {recovery} and "
                           f"reduced lr to {new_lr:.3g}", flush=True)
                 continue
             if best is not None and best.is_best(logs):

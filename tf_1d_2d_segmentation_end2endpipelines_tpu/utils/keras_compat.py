@@ -184,8 +184,11 @@ def convert_keras_weights(kmodel, model, sample: jax.Array,
             kernel = weights[0]
             _set(params, leaf.path, "kernel", kernel)
             if kind == "convlstm":
-                # weights = [kernel, recurrent_kernel, bias]
+                # weights = [kernel, recurrent_kernel, bias]; the flax leaf
+                # is the cell's input_conv, the recurrent kernel lives one
+                # level up on the ConvLSTMCell itself
                 _set(params, leaf.path, "bias", weights[2])
+                _set(params, leaf.path[:-1], "recurrent_kernel", weights[1])
             elif len(weights) > 1:
                 _set(params, leaf.path, "bias", weights[1])
         elif kind == "dwconv":
