@@ -25,9 +25,11 @@ REF_2D = "/root/reference/TensorFlow/2DCNN"
 
 def build_reference_unetpp(batch, size):
     import keras
+    import tensorflow as tf
 
     # Keras-2 compat shim the reference needs under Keras 3 (same patch as
-    # tests/test_parity_keras.py): Activation('LeakyReLU') must resolve
+    # tests/test_parity_keras.py): Activation('LeakyReLU') must resolve.
+    # tf.keras is the keras._tf_keras mirror tree, so patch BOTH bindings.
     orig_activation = keras.layers.Activation
 
     def patched(activation, **kw):
@@ -41,6 +43,7 @@ def build_reference_unetpp(batch, size):
         return orig_activation(activation, **kw)
 
     keras.layers.Activation = patched
+    tf.keras.layers.Activation = patched
     # the reference imports `tensorflow as tf` and uses tf.keras.*; under
     # TF>=2.16 tf.keras IS this keras-3 module, which follows KERAS_BACKEND
     sys.path.insert(0, REF_2D)
