@@ -38,7 +38,9 @@ def main() -> None:
         create_train_state, get_loss, make_optimizer, make_train_step)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 32 if on_tpu else 4
+    # batch 56: throughput-optimal on v5e (step time plateaus ~208 ms from
+    # b48-b56, so images/step wins; b60+ OOMs the remote compiler)
+    batch = 56 if on_tpu else 4
     size = 256 if on_tpu else 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 

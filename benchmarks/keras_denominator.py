@@ -62,7 +62,7 @@ def main() -> None:
     print(f"keras {keras.__version__} backend={keras.backend.backend()} "
           f"devices={jax.devices()}", flush=True)
     on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 32 if on_tpu else 2
+    batch = int(os.environ.get("KERAS_BENCH_BATCH", 32 if on_tpu else 2))
     size = 256 if on_tpu else 64
     steps = 10 if on_tpu else 2
 

@@ -19,10 +19,11 @@ Per-kind conversions:
   ``transpose_kernel=True`` which matches Keras's gradient-of-conv
   semantics and (k.., out, in) kernel layout (verified < 2e-7)
 - BatchNorm: gamma/beta -> scale/bias; moving stats -> batch_stats
-- ConvLSTM: the recurrent kernel is dropped -- the reference only ever
-  applies ConvLSTM to a length-1 synthetic time axis from a zero state
-  (SURVEY.md §7 "hard parts"), where it contributes nothing (verified
-  < 9e-8)
+- ConvLSTM: kernel/bias load into the cell's input_conv; the recurrent
+  kernel loads into the cell's ``recurrent_kernel`` param (the reference
+  only ever applies ConvLSTM to a length-1 synthetic time axis from a zero
+  state, SURVEY.md §7 "hard parts", where it contributes nothing --
+  verified < 9e-8 -- but it is kept for param-count/checkpoint parity)
 - Oper (Self-ONN): the q per-power Conv kernels concatenate along the
   input-channel axis of our single fused conv; biases sum
 - DepthwiseConv: (k, C, 1) -> (k, 1, C) for feature_group_count=C
