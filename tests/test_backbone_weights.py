@@ -242,3 +242,95 @@ def test_efficientnetv2s_tap_parity():
         got = np.asarray(taps[i])
         assert got.shape == ref.shape, name
         assert float(np.max(np.abs(got - ref))) < 1e-3, name
+
+
+def test_mobilenetv3_full_parity():
+    """MobileNetV3 Small/Large: full-network conversion exactness (the
+    reference's tap names are broken under Keras 3 — see
+    test_backbones.py::test_reference_mobilenetv3_taps_broken — so the
+    fixture compares the complete include_top=False output)."""
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    x = np.random.default_rng(2).uniform(0, 255, (1, 96, 96, 3)).astype(
+        np.float32)
+    for name in ("MobileNetV3Small", "MobileNetV3Large"):
+        bb = get_backbone(name)
+        variables, kmodel = load_backbone_weights(name, bb, x, weights=None)
+        taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+        ref = np.asarray(kmodel(x, training=False))
+        got = np.asarray(taps[-1])
+        assert got.shape == ref.shape, name
+        rel = float(np.max(np.abs(got - ref))) / max(
+            float(np.max(np.abs(ref))), 1e-9)
+        assert rel < 1e-4, f"{name}: {rel}"
+
+
+def test_inception_full_parity_valid_mode():
+    """InceptionV3 / InceptionResNetV2: conversion exactness in pad='VALID'
+    (keras-mirror) mode; the same weights drive the pad='SAME' intent mode
+    whose taps land on the power-of-two grid (the reference's own taps are
+    125/60/29/14 px at 256² and crash its decoder — see test_backbones.py)."""
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.inception import (
+        InceptionResNetV2Backbone, InceptionV3Backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_backbone_weights)
+    x = np.random.default_rng(3).uniform(-1, 1, (1, 160, 160, 3)).astype(
+        np.float32)
+    for name, cls in (("InceptionV3", InceptionV3Backbone),
+                      ("InceptionResNetV2", InceptionResNetV2Backbone)):
+        bb = cls(pad="VALID")
+        variables, kmodel = load_backbone_weights(name, bb, x, weights=None)
+        taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+        ref = np.asarray(kmodel(x, training=False))
+        got = np.asarray(taps[-1])
+        assert got.shape == ref.shape, name
+        rel = float(np.max(np.abs(got - ref))) / max(
+            float(np.max(np.abs(ref))), 1e-9)
+        assert rel < 1e-4, f"{name}: {rel}"
+        # intent mode: identical weights, power-of-two taps
+        same = cls(pad="SAME")
+        taps2 = same.apply(variables, np.zeros((1, 64, 64, 3), np.float32),
+                           train=False)
+        assert [t.shape[1] for t in taps2] == [64, 32, 16, 8, 4, 2]
+
+
+def test_chexnet_h5_load_path(tmp_path):
+    """Exercise the reference's CheXNet local-.h5 path
+    (unet_variants.py:3439-3445) with a synthetically saved h5: build the
+    same DenseNet121+Dense(14) topology, save weights, load through
+    load_chexnet_weights, and check tap parity against the loaded base."""
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones import (
+        get_backbone)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.backbones.pretrained import (
+        load_chexnet_weights)
+    # author a synthetic CheXNet_TF_Weights.h5 with the reference topology
+    src = tf.keras.applications.DenseNet121(
+        include_top=False, weights=None, input_shape=(64, 64, 3))
+    pred = tf.keras.layers.Dense(14, activation="softmax",
+                                 name="predictions")(src.output)
+    full = tf.keras.Model(src.input, pred)
+    h5 = str(tmp_path / "CheXNet_TF_Weights.weights.h5")
+    full.save_weights(h5)
+
+    bb = get_backbone("CheXNet")
+    x = np.random.default_rng(4).normal(size=(1, 64, 64, 3)).astype(
+        np.float32)
+    variables, kbase = load_chexnet_weights(bb, x, weights=h5)
+    taps = jax.jit(lambda v, x: bb.apply(v, x, train=False))(variables, x)
+    names = ["conv1_relu", "pool2_relu", "pool3_relu", "pool4_relu", "relu"]
+    kref = tf.keras.Model(kbase.input,
+                          [kbase.get_layer(n).output for n in names])
+    refs = [np.asarray(t) for t in kref(x, training=False)]
+    for i, (name, ref) in enumerate(zip(names, refs), start=1):
+        got = np.asarray(taps[i])
+        assert got.shape == ref.shape, name
+        assert float(np.max(np.abs(got - ref))) < 1e-4, name
+    # and the loaded weights really are the h5's, not fresh inits
+    w_src = src.get_layer("conv1_conv").get_weights()[0]
+    w_loaded = kbase.get_layer("conv1_conv").get_weights()[0]
+    np.testing.assert_array_equal(w_src, w_loaded)

@@ -47,3 +47,54 @@ def test_all_backbones_shape_only():
             lambda bb=bb: bb.init_with_output(jax.random.PRNGKey(0), x)[0])
         assert len(taps) == 6, name
         assert tuple(taps[5].shape)[1:3] == (2, 2), name
+
+
+tf_mod = None
+try:
+    import tensorflow as tf_mod
+except Exception:
+    pass
+
+
+@pytest.mark.skipif(tf_mod is None, reason="needs tensorflow")
+def test_reference_mobilenetv3_taps_broken():
+    """The reference's MobileNetV3 pretrained path (unet_variants.py:
+    2049-2079) taps auto-numbered layer names (re_lu_22, re_lu_31) that do
+    NOT exist under the installed Keras 3, and the names that do resolve
+    include 1x1 squeeze-excite tensors — the reference's own encoder path
+    is unbuildable here, so this framework implements the documented
+    intent taps instead (models/backbones/convnets.py)."""
+    # keras auto-numbering is a process-global counter — itself the
+    # fragility at issue; reset it so the reference's fresh-process
+    # numbering is reproduced
+    tf_mod.keras.backend.clear_session()
+    m = tf_mod.keras.applications.MobileNetV3Small(
+        include_top=False, weights=None, input_shape=(224, 224, 3))
+    with pytest.raises(ValueError):
+        m.get_layer("re_lu_22")
+    with pytest.raises(ValueError):
+        m.get_layer("re_lu_31")
+    # 're_lu_7' resolves but is a 1x1 squeeze-excite map — spatially
+    # unusable as the reference's (w/8, h/8) level-4 skip
+    assert m.get_layer("re_lu_7").output.shape[1] == 1
+
+
+@pytest.mark.skipif(tf_mod is None, reason="needs tensorflow")
+def test_reference_inception_taps_broken():
+    """InceptionV3: the reference's taps (unet_variants.py:2203-2221)
+    resolve but are VALID-stem sizes (125/60/29/14 at 256²) — its decoder's
+    transposed-conv upsample (2x) of the 14px tap gives 28px which cannot
+    concat with the 29px skip, so the reference's own InceptionV3+UNet
+    crashes.  InceptionResNetV2's tap names (:2286-2304) do not even
+    resolve under Keras 3."""
+    tf_mod.keras.backend.clear_session()
+    m = tf_mod.keras.applications.InceptionV3(
+        include_top=False, weights=None, input_shape=(256, 256, 3))
+    shapes = [m.get_layer(n).output.shape[1]
+              for n in ("activation_2", "activation_4", "activation_28",
+                        "activation_67")]
+    assert shapes == [125, 60, 29, 14]  # 2*14 == 28 != 29: concat crash
+    m2 = tf_mod.keras.applications.InceptionResNetV2(
+        include_top=False, weights=None, input_shape=(256, 256, 3))
+    with pytest.raises(ValueError):
+        m2.get_layer("activation_74")

@@ -296,33 +296,59 @@ def _hswish(x):
 
 
 class MobileNetV3Backbone(nn.Module):
-    """MobileNet v3 small/large (taps at stride boundaries,
-    unet_variants.py:2049-2079 / 2121-2151)."""
+    """MobileNet v3 small/large, mirroring keras.applications.MobileNetV3
+    layer-for-layer (incl. the internal Rescaling(1/127.5, -1), the
+    block-0 expansion skip, SE 1x1 convs with _depth(expand/4) filters and
+    hard-sigmoid gates, BN eps 1e-3) so ImageNet weights convert exactly
+    by call order.
+
+    Taps: the reference's auto-numbered layer names (re_lu / re_lu_3 /
+    re_lu_7 / re_lu_22 / re_lu_31, unet_variants.py:2049-2079 /
+    2121-2151) do not exist under the installed Keras 3 -- the reference's
+    own MobileNetV3 pretrained path crashes (demonstrated in
+    tests/test_backbones.py::test_reference_mobilenetv3_taps_broken), and
+    the resolvable ones include 1x1 squeeze-excite tensors that cannot
+    feed a spatial decoder.  Taps here implement the INTENT: the last
+    tensor at each stride (input, pre-stride-2 block inputs, final
+    activation).
+    """
 
     size: str = "large"
     dtype: Dtype = jnp.float32
 
-    def _se(self, h, ratio=4):
-        c = h.shape[-1]
-        s = jnp.mean(h, axis=(1, 2))
-        s = nn.relu(nn.Dense(max(c // ratio, 8), dtype=self.dtype,
-                             param_dtype=jnp.float32)(s))
-        s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
-        s = nn.relu6(s + 3.0) / 6.0  # hard sigmoid
-        return h * s[:, None, None, :]
+    @staticmethod
+    def _depth(v, divisor=8, min_value=None):
+        if min_value is None:
+            min_value = divisor
+        new_v = max(min_value, (int(v + divisor / 2) // divisor) * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
 
-    def _block(self, h, k, exp, feats, se, act, stride, train):
+    def _hsig(self, x):
+        return nn.relu6(x + 3.0) * (1.0 / 6.0)
+
+    def _se(self, h, expand):
+        filters = self._depth(expand * 0.25)
+        s = jnp.mean(h, axis=(1, 2), keepdims=True)
+        s = nn.relu(_conv(s, filters, 1, 1, self.dtype, use_bias=True))
+        s = _conv(s, expand, 1, 1, self.dtype, use_bias=True)
+        return h * self._hsig(s)
+
+    def _block(self, h, block_id, k, exp, feats, se, act, stride, train):
         cin = h.shape[-1]
-        y = _conv(h, exp, 1, 1, self.dtype, use_bias=False)
-        y = act(_bn(y, train, self.dtype))
+        y = h
+        if block_id > 0:  # keras skips the expansion on block 0
+            y = _conv(y, exp, 1, 1, self.dtype, use_bias=False)
+            y = act(_bn(y, train, self.dtype, eps=1e-3))
         y = nn.Conv(exp, (k, k), strides=(stride, stride), padding="SAME",
                     feature_group_count=exp, use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = act(_bn(y, train, self.dtype))
+        y = act(_bn(y, train, self.dtype, eps=1e-3))
         if se:
-            y = self._se(y)
+            y = self._se(y, exp)
         y = _conv(y, feats, 1, 1, self.dtype, use_bias=False)
-        y = _bn(y, train, self.dtype)
+        y = _bn(y, train, self.dtype, eps=1e-3)
         if stride == 1 and cin == feats:
             y = y + h
         return y
@@ -332,6 +358,7 @@ class MobileNetV3Backbone(nn.Module):
                  ) -> tp.List[jax.Array]:
         relu = nn.relu
         hs = _hswish
+        # (kernel, expand, project, se, activation, stride) per keras config
         if self.size == "large":
             cfg = [(3, 16, 16, False, relu, 1), (3, 64, 24, False, relu, 2),
                    (3, 72, 24, False, relu, 1), (5, 72, 40, True, relu, 2),
@@ -351,14 +378,15 @@ class MobileNetV3Backbone(nn.Module):
                    (5, 576, 96, True, hs, 1)]
             last = 576
         taps = [x]
-        h = _conv(x, 16, 3, 2, self.dtype, use_bias=False)
-        h = _hswish(_bn(h, train, self.dtype))
-        for (k, exp, feats, se, act, s) in cfg:
+        h = x.astype(self.dtype) / 127.5 - 1.0  # keras internal Rescaling
+        h = _conv(h, 16, 3, 2, self.dtype, use_bias=False)
+        h = _hswish(_bn(h, train, self.dtype, eps=1e-3))
+        for block_id, (k, exp, feats, se, act, s) in enumerate(cfg):
             if s == 2:
                 taps.append(h)
-            h = self._block(h, k, exp, feats, se, act, s, train)
+            h = self._block(h, block_id, k, exp, feats, se, act, s, train)
         h = _conv(h, last, 1, 1, self.dtype, use_bias=False)
-        h = _hswish(_bn(h, train, self.dtype))
+        h = _hswish(_bn(h, train, self.dtype, eps=1e-3))
         taps.append(h)
         while len(taps) < 6:  # small variant reaches stride 32 early
             taps.append(taps[-1])

@@ -18,8 +18,9 @@ Dtype = tp.Any
 
 
 def _bn(x, train, dtype):
+    # keras Inception uses BatchNormalization(scale=False): no gamma
     return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                        epsilon=1e-3, dtype=dtype,
+                        epsilon=1e-3, use_scale=False, dtype=dtype,
                         param_dtype=jnp.float32)(x)
 
 
@@ -45,7 +46,15 @@ def _avgpool(x, k=3, s=1):
 
 
 class InceptionV3Backbone(nn.Module):
+    """pad='SAME' (default): every stage lands on the power-of-two grid a
+    UNet decoder needs -- the implementable INTENT of the reference's
+    InceptionV3 encoder (its literal VALID-padded taps are 125/60/29/14 px
+    at 256² input, which crashes the reference's own decoder concat --
+    demonstrated in tests/test_backbones.py).  pad='VALID' mirrors
+    keras.applications exactly for the weight-conversion fixtures."""
+
     dtype: Dtype = jnp.float32
+    pad: str = "SAME"
 
     def _block_a(self, x, pool_feats, train):
         d = self.dtype
@@ -84,34 +93,36 @@ class InceptionV3Backbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         d = self.dtype
+        p = self.pad
         taps = [x]
-        h = _cba(x, 32, 3, 2, train, d)
-        h = _cba(h, 32, 3, 1, train, d)
+        h = _cba(x, 32, 3, 2, train, d, padding=p)
+        h = _cba(h, 32, 3, 1, train, d, padding=p)
         h = _cba(h, 64, 3, 1, train, d)
         taps.append(h)  # stride 2
-        h = _maxpool(h)
-        h = _cba(h, 80, 1, 1, train, d)
-        h = _cba(h, 192, 3, 1, train, d)
+        h = _maxpool(h, padding=p)
+        h = _cba(h, 80, 1, 1, train, d, padding=p)
+        h = _cba(h, 192, 3, 1, train, d, padding=p)
         taps.append(h)  # stride 4
-        h = _maxpool(h)
+        h = _maxpool(h, padding=p)
         h = self._block_a(h, 32, train)
         h = self._block_a(h, 64, train)
         h = self._block_a(h, 64, train)
         taps.append(h)  # stride 8
         # reduction A
-        b1 = _cba(h, 384, 3, 2, train, d)
+        b1 = _cba(h, 384, 3, 2, train, d, padding=p)
         b2 = _cba(_cba(_cba(h, 64, 1, 1, train, d), 96, 3, 1, train, d),
-                  96, 3, 2, train, d)
-        h = jnp.concatenate([b1, b2, _maxpool(h)], -1)
+                  96, 3, 2, train, d, padding=p)
+        h = jnp.concatenate([b1, b2, _maxpool(h, padding=p)], -1)
         for c7 in (128, 160, 160, 192):
             h = self._block_b(h, c7, train)
         taps.append(h)  # stride 16
         # reduction B
-        b1 = _cba(_cba(h, 192, 1, 1, train, d), 320, 3, 2, train, d)
+        b1 = _cba(_cba(h, 192, 1, 1, train, d), 320, 3, 2, train, d,
+                  padding=p)
         b2 = _cba(_cba(_cba(h, 192, 1, 1, train, d), 192, (1, 7), 1, train,
                        d), 192, (7, 1), 1, train, d)
-        b2 = _cba(b2, 192, 3, 2, train, d)
-        h = jnp.concatenate([b1, b2, _maxpool(h)], -1)
+        b2 = _cba(b2, 192, 3, 2, train, d, padding=p)
+        h = jnp.concatenate([b1, b2, _maxpool(h, padding=p)], -1)
         h = self._block_c(h, train)
         h = self._block_c(h, train)
         taps.append(h)  # stride 32
@@ -119,7 +130,12 @@ class InceptionV3Backbone(nn.Module):
 
 
 class InceptionResNetV2Backbone(nn.Module):
+    """Same pad='SAME'-intent / pad='VALID'-exact split as
+    InceptionV3Backbone (the reference's activation_N tap names do not
+    even exist under the installed Keras 3)."""
+
     dtype: Dtype = jnp.float32
+    pad: str = "SAME"
 
     def _block35(self, x, train, scale=0.17):
         d = self.dtype
@@ -142,7 +158,7 @@ class InceptionResNetV2Backbone(nn.Module):
                      param_dtype=jnp.float32)(mix)
         return nn.relu(x + scale * up)
 
-    def _block8(self, x, train, scale=0.2):
+    def _block8(self, x, train, scale=0.2, activate=True):
         d = self.dtype
         b1 = _cba(x, 192, 1, 1, train, d)
         b2 = _cba(_cba(_cba(x, 192, 1, 1, train, d), 224, (1, 3), 1, train,
@@ -150,22 +166,24 @@ class InceptionResNetV2Backbone(nn.Module):
         mix = jnp.concatenate([b1, b2], -1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=d,
                      param_dtype=jnp.float32)(mix)
-        return nn.relu(x + scale * up)
+        out = x + scale * up
+        return nn.relu(out) if activate else out
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         d = self.dtype
+        p = self.pad
         taps = [x]
-        h = _cba(x, 32, 3, 2, train, d)
-        h = _cba(h, 32, 3, 1, train, d)
+        h = _cba(x, 32, 3, 2, train, d, padding=p)
+        h = _cba(h, 32, 3, 1, train, d, padding=p)
         h = _cba(h, 64, 3, 1, train, d)
         taps.append(h)  # stride 2
-        h = _maxpool(h)
-        h = _cba(h, 80, 1, 1, train, d)
-        h = _cba(h, 192, 3, 1, train, d)
+        h = _maxpool(h, padding=p)
+        h = _cba(h, 80, 1, 1, train, d, padding=p)
+        h = _cba(h, 192, 3, 1, train, d, padding=p)
         taps.append(h)  # stride 4
-        h = _maxpool(h)
+        h = _maxpool(h, padding=p)
         # stem mixed block
         b1 = _cba(h, 96, 1, 1, train, d)
         b2 = _cba(_cba(h, 48, 1, 1, train, d), 64, 5, 1, train, d)
@@ -177,21 +195,25 @@ class InceptionResNetV2Backbone(nn.Module):
             h = self._block35(h, train)
         taps.append(h)  # stride 8
         # reduction A
-        b1 = _cba(h, 384, 3, 2, train, d)
+        b1 = _cba(h, 384, 3, 2, train, d, padding=p)
         b2 = _cba(_cba(_cba(h, 256, 1, 1, train, d), 256, 3, 1, train, d),
-                  384, 3, 2, train, d)
-        h = jnp.concatenate([b1, b2, _maxpool(h)], -1)
+                  384, 3, 2, train, d, padding=p)
+        h = jnp.concatenate([b1, b2, _maxpool(h, padding=p)], -1)
         for _ in range(20):
             h = self._block17(h, train)
         taps.append(h)  # stride 16
         # reduction B
-        b1 = _cba(_cba(h, 256, 1, 1, train, d), 384, 3, 2, train, d)
-        b2 = _cba(_cba(h, 256, 1, 1, train, d), 288, 3, 2, train, d)
+        b1 = _cba(_cba(h, 256, 1, 1, train, d), 384, 3, 2, train, d,
+                  padding=p)
+        b2 = _cba(_cba(h, 256, 1, 1, train, d), 288, 3, 2, train, d,
+                  padding=p)
         b3 = _cba(_cba(_cba(h, 256, 1, 1, train, d), 288, 3, 1, train, d),
-                  320, 3, 2, train, d)
-        h = jnp.concatenate([b1, b2, b3, _maxpool(h)], -1)
-        for _ in range(10):
-            h = self._block8(h, train)
+                  320, 3, 2, train, d, padding=p)
+        h = jnp.concatenate([b1, b2, b3, _maxpool(h, padding=p)], -1)
+        for i in range(10):
+            # keras: 9 scaled-relu block8s + one final scale=1, linear
+            h = self._block8(h, train, scale=1.0 if i == 9 else 0.2,
+                             activate=i < 9)
         h = _cba(h, 1536, 1, 1, train, d)
         taps.append(h)  # stride 32
         return taps

@@ -6,15 +6,17 @@ the path here is: build the matching ``keras.applications`` model (from a
 local ``.h5`` when provided, else ``weights=None``), then convert by call
 order (``utils.keras_compat``).
 
-Exactness status per family:
-- VGG16/19, DenseNet121/169/201 (incl. CheXNet), ResNet50/101/152 (+V2),
-  MobileNet V1/V2, EfficientNet B0-B7 and V2 B0-B3/S/M/L: exact
-  (tap-level fixtures in tests/test_backbone_weights.py; compare with
-  jax_default_matmul_precision='highest' -- XLA:CPU's default conv
-  precision truncates at ~2.5e-3 relative)
-- MobileNetV3 and InceptionV3/IRV2: architecture-faithful but tap
-  semantics approximated (the reference taps fragile auto-numbered layer
-  names) -- documented at the implementation sites.
+Exactness status: all 33 registry entries convert keras.applications
+weights exactly (fixtures in tests/test_backbone_weights.py; compare with
+jax_default_matmul_precision='highest' -- XLA:CPU's default conv precision
+truncates at ~2.5e-3 relative).  For MobileNetV3 and InceptionV3/IRV2 the
+conversion is exact but the TAPS implement the documented intent: the
+reference's own tap names are broken or spatially unusable under the
+installed Keras 3 (demonstrated in tests/test_backbones.py::
+test_reference_mobilenetv3_taps_broken / test_reference_inception_taps_
+broken); Inception backbones take pad='VALID' to mirror keras exactly for
+fixtures and default to pad='SAME' so taps land on the power-of-two grid
+the decoders need.
 """
 from __future__ import annotations
 
@@ -37,6 +39,11 @@ KERAS_BUILDERS = {
     "ResNet152V2": ("tensorflow.keras.applications", "ResNet152V2"),
     "MobileNet": ("tensorflow.keras.applications", "MobileNet"),
     "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
+    "MobileNetV3Small": ("tensorflow.keras.applications", "MobileNetV3Small"),
+    "MobileNetV3Large": ("tensorflow.keras.applications", "MobileNetV3Large"),
+    "InceptionV3": ("tensorflow.keras.applications", "InceptionV3"),
+    "InceptionResNetV2": ("tensorflow.keras.applications",
+                          "InceptionResNetV2"),
     "EfficientNetB0": ("tensorflow.keras.applications", "EfficientNetB0"),
     "EfficientNetB1": ("tensorflow.keras.applications", "EfficientNetB1"),
     "EfficientNetB2": ("tensorflow.keras.applications", "EfficientNetB2"),
@@ -57,7 +64,8 @@ KERAS_BUILDERS = {
 EXACT_FAMILIES = ("VGG16", "VGG19", "DenseNet121", "DenseNet169",
                   "DenseNet201", "ResNet50", "ResNet101", "ResNet152",
                   "ResNet50V2", "ResNet101V2", "ResNet152V2", "MobileNet",
-                  "MobileNetV2",
+                  "MobileNetV2", "MobileNetV3Small", "MobileNetV3Large",
+                  "InceptionV3", "InceptionResNetV2",
                   "EfficientNetB0", "EfficientNetB1", "EfficientNetB2",
                   "EfficientNetB3", "EfficientNetB4", "EfficientNetB5",
                   "EfficientNetB6", "EfficientNetB7", "EfficientNetV2B0",
@@ -87,3 +95,26 @@ def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,
                          input_shape=tuple(sample.shape[1:]))
     return convert_keras_weights(kmodel, flax_backbone, sample,
                                  creation_order=rec.order), kmodel
+
+
+def load_chexnet_weights(flax_backbone, sample: jax.Array,
+                         weights: tp.Optional[str] = None):
+    """CheXNet: DenseNet121 + Dense(14, softmax, name='predictions') head,
+    weights from a local ``CheXNet_TF_Weights.h5`` (reference
+    unet_variants.py:3439-3445).  The head model shares layers with the
+    base, so ``load_weights`` on it populates the base, which then converts
+    by call order exactly like DenseNet121."""
+    import tensorflow as tf
+    from ...utils.keras_compat import (KerasCreationRecorder,
+                                       convert_keras_weights)
+    with KerasCreationRecorder() as rec:
+        base = tf.keras.applications.DenseNet121(
+            include_top=False, weights=None,
+            input_shape=tuple(sample.shape[1:]))
+        pred = tf.keras.layers.Dense(14, activation="softmax",
+                                     name="predictions")(base.output)
+        full = tf.keras.Model(base.input, pred)
+    if weights:
+        full.load_weights(weights)
+    return convert_keras_weights(base, flax_backbone, sample,
+                                 creation_order=rec.order), base

@@ -211,8 +211,11 @@ def convert_keras_weights(kmodel, model, sample: jax.Array,
             _set(params, leaf.path, "mean", np.asarray(weights[0]).reshape(-1))
             _set(params, leaf.path, "var", np.asarray(weights[1]).reshape(-1))
         elif kind == "bn":
-            gamma, beta, mean, var = weights
-            _set(params, leaf.path, "scale", gamma)
+            if len(weights) == 4:
+                gamma, beta, mean, var = weights
+                _set(params, leaf.path, "scale", gamma)
+            else:  # BatchNormalization(scale=False): Inception family
+                beta, mean, var = weights
             _set(params, leaf.path, "bias", beta)
             _set(batch_stats, leaf.path, "mean", mean)
             _set(batch_stats, leaf.path, "var", var)
