@@ -132,3 +132,65 @@ def test_1d_unet_lstm_ag_parity(ref_modules):
     fmodel = getattr(UNet1D(64, 2, 1, 8, 3, ds=0, ag=1, lstm=1), "UNet")()
     x = np.random.default_rng(3).normal(size=(2, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
+
+
+def _compare_all_heads(kmodel, fmodel, x, tol=1e-4, creation_order=None):
+    """Deep-supervision parity: EVERY named head (out + level{i}) must
+    match, not just outputs[0] (VERDICT r1 item 5 — the DS wiring,
+    level naming and UNet3P's stride-2 heads are exactly the subtle part;
+    reference head assembly unet_variants.py:1109-1114)."""
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.keras_compat import (
+        convert_keras_weights)
+    variables = convert_keras_weights(kmodel, fmodel, x,
+                                      creation_order=creation_order)
+    out = jax.jit(lambda v, x: fmodel.apply(v, x, train=False))(variables, x)
+    assert "out" in out and any(k.startswith("level") for k in out), out.keys()
+    kref = tf.keras.Model(
+        kmodel.input, {name: kmodel.get_layer(name).output for name in out})
+    refs = kref(x, training=False)
+    for name in out:
+        got = np.asarray(out[name])
+        ref = np.asarray(refs[name])
+        assert got.shape == ref.shape, (name, got.shape, ref.shape)
+        diff = float(np.max(np.abs(got - ref)))
+        assert diff < tol, f"head {name}: max deviation {diff} >= {tol}"
+
+
+@pytest.mark.parametrize("decoder", ["UNet", "UNetPP", "UNet3P"])
+def test_2d_deep_supervision_head_parity(ref_modules, decoder):
+    """All DS heads of the 2D decoders match the reference (UNet3P's are
+    stride-2 half-resolution, unet_variants.py:374)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    builder = ref_modules["2d"].unet_model_builder(
+        decoder, 32, 32, 4, 3, num_channels=3, output_nums=1,
+        ds=1, ae=0, ag=0, lstm=0, dense_loop=1, is_transconv=True,
+        final_activation="sigmoid", train_mode="from_scratch")
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.keras_compat import (
+        KerasCreationRecorder)
+    with KerasCreationRecorder() as rec:
+        kmodel = builder.ResNet50()
+    fmodel = SegModel(decoder_name=decoder, model_width=4, model_depth=3,
+                      output_nums=1, final_activation="sigmoid",
+                      dense_loop=1, ds=1)
+    x = np.random.default_rng(7).normal(size=(1, 32, 32, 3)).astype(
+        np.float32)
+    _compare_all_heads(kmodel, fmodel, x, creation_order=rec.order)
+
+
+@pytest.mark.parametrize("arch", ["UNet", "UNetPP", "UNet3P"])
+def test_1d_deep_supervision_head_parity(ref_modules, arch):
+    """All DS heads of the 1D architectures match the reference
+    (Models/unet_variants.py:314-317 head assembly)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import UNet1D
+    kbuilder = ref_modules["1d"].UNet(64, 3, 1, 4, 3,
+                                      problem_type="Regression",
+                                      output_nums=1, ds=1, ae=0, ag=0,
+                                      lstm=0, is_transconv=True)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.keras_compat import (
+        KerasCreationRecorder)
+    with KerasCreationRecorder() as rec:
+        kmodel = getattr(kbuilder, arch)()
+    fmodel = getattr(UNet1D(64, 3, 1, 4, 3, ds=1), arch)()
+    x = np.random.default_rng(8).normal(size=(1, 64, 1)).astype(np.float32)
+    _compare_all_heads(kmodel, fmodel, x, creation_order=rec.order)
