@@ -113,11 +113,14 @@ def split_dataset(ds: "SegmentationFolderDataset", val_portion: float,
 
 
 class PrefetchLoader:
-    """Threaded, double-buffered batch loader.
+    """Threaded batch loader with per-image fan-out.
 
     ``__call__`` returns a fresh epoch iterator (the Trainer's BatchIter
-    contract).  Decoding the NEXT batch overlaps with device compute on the
-    current one.
+    contract).  Every image decode is its own pool task (PIL releases the
+    GIL inside its decoders, so the ``num_workers`` threads genuinely
+    overlap), and a sliding window of ``prefetch_batches`` batches' worth
+    of decodes stays in flight ahead of the consumer — so the NEXT batches
+    decode while the device computes on the current one.
     """
 
     def __init__(self, dataset: SegmentationFolderDataset, batch_size: int,
@@ -126,6 +129,7 @@ class PrefetchLoader:
                  patch_shape: tp.Tuple[int, int] = (64, 64),
                  overlap_ratio: float = 0.0,
                  num_workers: int = 4,
+                 prefetch_batches: int = 2,
                  drop_remainder: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
@@ -135,25 +139,25 @@ class PrefetchLoader:
         self.patch_shape = patch_shape
         self.overlap_ratio = overlap_ratio
         self.num_workers = num_workers
+        self.prefetch_batches = max(prefetch_batches, 1)
         self.drop_remainder = drop_remainder
         self._epoch = 0
 
+    def _load_one(self, i: int) -> tp.Tuple[np.ndarray, np.ndarray]:
+        img, msk = self.ds.load_pair(int(i))
+        if self.patchify:
+            ip, _ = create_patches(img, self.patch_shape,
+                                   self.overlap_ratio)
+            mp, _ = create_patches(msk, self.patch_shape,
+                                   self.overlap_ratio)
+            return ip, mp
+        return img[None], msk[None]
+
     def _make_batch(self, idxs: np.ndarray
                     ) -> tp.Tuple[np.ndarray, np.ndarray]:
-        imgs, msks = [], []
-        for i in idxs:
-            img, msk = self.ds.load_pair(int(i))
-            if self.patchify:
-                ip, _ = create_patches(img, self.patch_shape,
-                                       self.overlap_ratio)
-                mp, _ = create_patches(msk, self.patch_shape,
-                                       self.overlap_ratio)
-                imgs.append(ip)
-                msks.append(mp)
-            else:
-                imgs.append(img[None])
-                msks.append(msk[None])
-        return np.concatenate(imgs, 0), np.concatenate(msks, 0)
+        parts = [self._load_one(i) for i in idxs]
+        return (np.concatenate([p[0] for p in parts], 0),
+                np.concatenate([p[1] for p in parts], 0))
 
     def __call__(self):
         n = len(self.ds)
@@ -166,13 +170,24 @@ class PrefetchLoader:
                    for s in range(0, stop, self.batch_size)]
         if not batches:
             return
+        flat = [int(i) for b in batches for i in b]
+        window = self.batch_size * self.prefetch_batches
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            pending = pool.submit(self._make_batch, batches[0])
-            for nxt in batches[1:]:
-                ready = pending.result()
-                pending = pool.submit(self._make_batch, nxt)
-                yield ready
-            yield pending.result()
+            futures: tp.Dict[int, cf.Future] = {
+                j: pool.submit(self._load_one, flat[j])
+                for j in range(min(window, len(flat)))}
+            pos = 0
+            for b in batches:
+                parts = []
+                for _ in b:
+                    parts.append(futures.pop(pos).result())
+                    nxt = pos + window
+                    if nxt < len(flat):
+                        futures[nxt] = pool.submit(self._load_one,
+                                                   flat[nxt])
+                    pos += 1
+                yield (np.concatenate([p[0] for p in parts], 0),
+                       np.concatenate([p[1] for p in parts], 0))
 
 
 def create_folds(image_dir: str, mask_dir: str, out_dir: str,
