@@ -129,3 +129,67 @@ def test_halo_conv_degenerate_kernels():
                                    atol=1e-5)
     with _pytest.raises(ValueError):
         halo_conv2d(x, jnp.zeros((2, 2, 3, 4)), mesh)
+
+
+def test_length_sharded_1d_training():
+    """Train a LONG 1D signal end-to-end with the sequence length sharded
+    over the 8-device mesh (the reference trains 21600-sample sequences at
+    batch 1; here windows become the 'data'-sharded batch) and reconstruct
+    a full-length prediction with the sharded window inference."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        length_sharded_batches, local_mesh, sharded_window_inference)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
+    rng = np.random.default_rng(0)
+    L = 2048
+    t = np.linspace(0, 40 * np.pi, L, dtype=np.float32)
+    x = (np.sin(t) + 0.1 * rng.normal(size=L).astype(np.float32))[:, None]
+    y = (np.sin(t) > 0).astype(np.float32)[:, None]
+    mesh = local_mesh()
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation="sigmoid")
+    tr = Trainer(model, loss="BinaryCrossentropy", learning_rate=1e-2,
+                 mesh=mesh)
+    batches = length_sharded_batches(x, y, window=256, overlap_ratio=0.5,
+                                     batch_size=8)
+    first = next(batches())
+    assert first[0].shape == (8, 256, 1)  # 8 windows = 1 per device
+    tr.init_state(first[0])
+    hist = tr.fit(batches, epochs=30, verbose=0)
+    assert hist["loss"][-1] < hist["loss"][0]
+    pred = sharded_window_inference(tr._predict_step, tr.state, x,
+                                    window=256, overlap_ratio=0.5,
+                                    mesh=mesh)
+    assert pred.shape == (L, 1)
+    acc = float(np.mean((pred[:, 0] > 0.5) == (y[:, 0] > 0.5)))
+    assert acc > 0.6, acc
+
+
+def test_halo_sharded_full_model_inference():
+    """A REAL UNet forward with the image's H axis sharded over all 8
+    devices: one up-front halo exchange, full model per shard, seam-free —
+    exactly equal to the unsharded model on the zero-extended image."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import local_mesh
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel.halo import (
+        halo_sharded_inference)
+    mesh = local_mesh()
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation="sigmoid")
+    H, W = 512, 64
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, H, W, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:, :64], train=False)
+    halo = 64
+    got = np.asarray(halo_sharded_inference(model, variables, x, mesh,
+                                            halo=halo))
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    want = np.asarray(model.apply(variables, xp,
+                                  train=False)["out"])[:, halo:-halo]
+    assert got.shape == want.shape == (1, H, W, 1)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    # seam-freeness: no discontinuity at shard boundaries
+    bounds = [H // 8 * k for k in range(1, 8)]
+    jumps = [float(np.abs(got[0, b] - got[0, b - 1]).max()) for b in bounds]
+    interior = float(np.abs(np.diff(got[0], axis=0)).mean())
+    assert max(jumps) < 50 * max(interior, 1e-6)

@@ -10,6 +10,8 @@ from .mesh import (  # noqa: F401
 )
 from .sharding_rules import param_shardings, state_shardings  # noqa: F401
 from .spatial import (  # noqa: F401
+    length_sharded_batches,
+    signal_windows,
     sharded_patch_inference,
     sharded_window_inference,
 )

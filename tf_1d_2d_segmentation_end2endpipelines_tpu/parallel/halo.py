@@ -69,3 +69,49 @@ def halo_conv2d(x: jax.Array, kernel: jax.Array, mesh: Mesh,
         in_specs=(P(None, axis, None, None), P()),
         out_specs=P(None, axis, None, None))
     return fn(x, kernel)
+
+
+def halo_sharded_inference(model, variables, image, mesh,
+                           axis: str = "data", halo: int = 64,
+                           out_key: str = "out"):
+    """Full-model single-image inference with the H axis sharded over the
+    mesh — the XLA-collective alternative to host patchify with NO seams.
+
+    Overlap-tile strategy (the original U-Net paper's inference scheme):
+    the image is zero-extended by ``halo`` rows top and bottom, each device
+    receives its H-shard plus ``halo`` boundary rows from its ring
+    neighbors (ONE up-front ppermute exchange), runs the ENTIRE model on
+    the padded shard, and crops the halo rows back off.  As long as
+    ``halo`` is a multiple of 2**model_depth (pooling-grid alignment) and
+    at least half the network's receptive field, every retained output row
+    depends only on rows present locally, so the result equals the
+    unsharded model applied to the zero-extended image EXACTLY — verified
+    in tests/test_parallel.py::test_halo_sharded_full_model_inference.
+
+    ``image``: (H, W, C) or (1, H, W, C); (H + 2*halo) must divide the
+    axis size and each shard must be at least ``halo`` rows tall.
+    """
+    x = jnp.asarray(image, jnp.float32)
+    if x.ndim == 3:
+        x = x[None]
+    n = mesh.shape[axis]
+    x = jnp.pad(x, ((0, 0), (halo, halo), (0, 0), (0, 0)))
+    H = x.shape[1]
+    if H % n or (H // n) < halo:
+        raise ValueError(
+            f"padded height {H} must divide {n} shards of >= {halo} rows")
+
+    def local(xs: jax.Array) -> jax.Array:
+        hs = jnp.swapaxes(xs, 0, 1)            # (rows, B, W, C)
+        hs = _exchange_rows(hs, halo, axis)
+        hs = jnp.swapaxes(hs, 0, 1)            # (B, rows + 2*halo, W, C)
+        out = model.apply(variables, hs, train=False)[out_key]
+        return out[:, halo:-halo]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, axis, None, None),
+        out_specs=P(None, axis, None, None),
+        check_rep=False)
+    out = fn(x)
+    return out[:, halo:-halo]

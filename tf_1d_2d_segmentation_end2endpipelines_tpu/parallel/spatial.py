@@ -88,3 +88,48 @@ def sharded_window_inference(
         acc[s0:s0 + window] += pred[k]
         cnt[s0:s0 + window] += 1.0
     return (acc / np.maximum(cnt, 1.0)).astype(np.float32)
+
+
+def signal_windows(signal: np.ndarray, window: int, overlap_ratio: float
+                   ) -> tp.Tuple[np.ndarray, tp.List[int]]:
+    """Split (L, C) or (N, L, C) signals into overlapping (W, window, C)
+    windows for LENGTH-SHARDED TRAINING: the reference trains whole
+    21600-sample sequences at batch 1 (1D notebook cells 29/35); here the
+    sequence length becomes the batch dimension, sharded over the mesh's
+    'data' axis by the normal train step.  Returns (windows, starts);
+    ``starts`` reconstructs positions for overlap-averaged stitching."""
+    sig = np.asarray(signal, np.float32)
+    if sig.ndim == 1:
+        sig = sig[:, None]
+    if sig.ndim == 2:
+        sig = sig[None]
+    L = sig.shape[1]
+    step = max(int(window * (1 - overlap_ratio)), 1)
+    starts = list(range(0, max(L - window, 0) + 1, step))
+    if not starts:
+        starts = [0]
+    if starts[-1] + window < L:
+        starts.append(L - window)
+    wins = np.concatenate(
+        [np.stack([s[s0:s0 + window] for s0 in starts], 0) for s in sig], 0)
+    return wins, starts
+
+
+def length_sharded_batches(x: np.ndarray, y: np.ndarray, window: int,
+                           overlap_ratio: float, batch_size: int,
+                           seed: int = 0):
+    """BatchIter over aligned signal/target windows (Trainer.fit contract);
+    the Trainer shards each window batch over the mesh's 'data' axis."""
+    xw, _ = signal_windows(x, window, overlap_ratio)
+    yw, _ = signal_windows(y, window, overlap_ratio)
+    assert xw.shape[0] == yw.shape[0]
+
+    def batches():
+        order = np.random.default_rng(seed).permutation(xw.shape[0])
+        stop = xw.shape[0] - (xw.shape[0] % batch_size)
+        for s in range(0, stop or batch_size, batch_size):
+            sel = order[s:s + batch_size]
+            if len(sel):
+                yield xw[sel], yw[sel]
+
+    return batches
