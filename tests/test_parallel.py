@@ -193,3 +193,91 @@ def test_halo_sharded_full_model_inference():
     jumps = [float(np.abs(got[0, b] - got[0, b - 1]).max()) for b in bounds]
     interior = float(np.abs(np.diff(got[0], axis=0)).mean())
     assert max(jumps) < 50 * max(interior, 1e-6)
+
+
+def test_multislice_dcn_mesh_training():
+    """2-slice x 2-data x 2-model mesh: the batch shards over
+    ('slice','data') so the gradient psum decomposes into intra-slice ICI
+    reduces + an inter-slice (DCN) all-reduce; the loss must equal the
+    plain single-slice data-parallel run bit-for-nearly-bit."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        make_multislice_mesh, shard_batch, state_shardings)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel.mesh import (
+        make_mesh)
+    model = SegModel(decoder_name="UNet", model_width=8, model_depth=2)
+    opt = make_optimizer("Adam", 1e-3)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32)
+
+    losses = {}
+    for label, mesh in (
+            ("multislice", make_multislice_mesh(jax.devices(), slices=2,
+                                                data=2, model=2)),
+            ("flat", make_mesh(jax.devices(), data=4, model=2))):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(x[:1]), opt)
+        state = jax.device_put(state, state_shardings(mesh, state))
+        step = jax.jit(make_train_step(model, opt, get_loss("DiceLoss")))
+        b = shard_batch(mesh, {"x": x, "y": y})
+        _, loss, _ = step(state, b["x"], b["y"], ())
+        losses[label] = float(loss)
+    assert np.isfinite(losses["multislice"])
+    np.testing.assert_allclose(losses["multislice"], losses["flat"],
+                               rtol=1e-5)
+
+
+def test_elastic_restart_on_smaller_mesh(tmp_path):
+    """Failure-recovery story: train on the 8-device mesh, checkpoint,
+    'lose' half the slice, restore the SAME checkpoint on a 4-device mesh
+    and keep training — orbax checkpoints are mesh-agnostic."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel.mesh import (
+        make_mesh)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        CheckpointManager, Trainer)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 64, 1)).astype(np.float32)
+    y = (x > 0).astype(np.float32)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data import batches
+
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation="sigmoid")
+    ckpt = CheckpointManager(str(tmp_path))
+    tr = Trainer(model, loss="BinaryCrossentropy", learning_rate=3e-3,
+                 mesh=make_mesh(jax.devices()))  # 8 devices
+    tr.init_state(x[:4])
+    tr.fit(batches(x, y, 8), epochs=3, checkpoint=ckpt, monitor="loss",
+           verbose=0)
+    pre_crash = tr.history["loss"][-1]
+
+    # "restart" on half the devices from the persisted checkpoint
+    tr2 = Trainer(model, loss="BinaryCrossentropy", learning_rate=3e-3,
+                  mesh=make_mesh(jax.devices()[:4]))
+    tr2.init_state(x[:4])
+    tr2.state = ckpt.restore(tr2.state, "best")
+    hist = tr2.fit(batches(x, y, 8), epochs=3, verbose=0)
+    assert np.isfinite(hist["loss"][-1])
+    assert hist["loss"][0] < pre_crash * 1.5  # resumed, not re-initialized
+    assert hist["loss"][-1] <= hist["loss"][0]
+
+
+def test_profiler_trace_capture(tmp_path):
+    """Tracing subsystem: Trainer.fit(profile_dir=...) captures a real
+    jax.profiler device trace (works on the CPU backend too)."""
+    import glob
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data import batches
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 64, 1)).astype(np.float32)
+    y = (x > 0).astype(np.float32)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     final_activation="sigmoid")
+    tr = Trainer(model, loss="BinaryCrossentropy")
+    tr.init_state(x)
+    tr.fit(batches(x, y, 4), epochs=2, verbose=0,
+           profile_dir=str(tmp_path), profile_epoch=1)
+    traces = glob.glob(str(tmp_path / "**" / "*.trace.json.gz"),
+                       recursive=True)
+    assert traces, "no trace captured"

@@ -5,6 +5,7 @@ from .mesh import (  # noqa: F401
     data_parallel_shardings,
     local_mesh,
     make_mesh,
+    make_multislice_mesh,
     replicated,
     shard_batch,
 )
