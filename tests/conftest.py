@@ -25,29 +25,19 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # single-core CI host recompiling every run would dominate test time.
 # Keyed by host-CPU fingerprint: XLA:CPU AOT results replayed on a different
 # machine can SIGILL (observed across round hosts).
-import hashlib
-import platform
+import sys
 
-_feat = ""
-try:
-    with open("/proc/cpuinfo") as _f:
-        for _line in _f:
-            if _line.startswith(("flags", "model name")):
-                _feat = _line
-                break
-except OSError:
-    pass
-_mkey = hashlib.md5((platform.machine() + _feat).encode()).hexdigest()[:8]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.hostkey import (
+    machine_key)
+
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      f".jax_cache-{_mkey}")
+                      f".jax_cache-{machine_key()}")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:  # drop any backend the sitecustomize already initialized
-    jax._src.xla_bridge.backends_are_initialized() and jax.clear_backends()
+    import jax.extend.backend
+    jax.extend.backend.clear_backends()
 except Exception:
     pass
-
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -153,12 +153,6 @@ class PrefetchLoader:
             return ip, mp
         return img[None], msk[None]
 
-    def _make_batch(self, idxs: np.ndarray
-                    ) -> tp.Tuple[np.ndarray, np.ndarray]:
-        parts = [self._load_one(i) for i in idxs]
-        return (np.concatenate([p[0] for p in parts], 0),
-                np.concatenate([p[1] for p in parts], 0))
-
     def __call__(self):
         n = len(self.ds)
         idx = np.arange(n)

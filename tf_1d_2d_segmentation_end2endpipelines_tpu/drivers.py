@@ -212,8 +212,12 @@ def test(config_path: str = "Test_Configs.ini",
     if tcfg is None:
         saved = os.path.join(cfg.save_dir or ".", "Train_Configs.ini")
         if os.path.exists(saved):
-            # architecture persisted by the train driver (exact rebuild)
-            tcfg = load_train_config(saved)
+            # architecture persisted by the train driver (exact rebuild);
+            # artifacts live where the TEST config points, so its save_dir
+            # wins over the possibly-stale persisted one
+            import dataclasses
+            tcfg = dataclasses.replace(load_train_config(saved),
+                                       save_dir=cfg.save_dir)
         else:
             tcfg = TrainConfig(
                 imlength=cfg.imheight, imwidth=cfg.imwidth,
@@ -273,7 +277,8 @@ def test(config_path: str = "Test_Configs.ini",
                 # — ordinal mask encodings (e.g. tumor-within-kidney) yield
                 # labels 0..class_number, matching the mask label space and
                 # the (class_number+1)-entry report
-                pred_lbl = (pred > cfg.threshold).astype(np.int32).sum(-1)
+                fg = pred[..., :cfg.class_number]
+                pred_lbl = (fg > cfg.threshold).astype(np.int32).sum(-1)
                 true_lbl = msk[..., 0].astype(np.int32)
             cm = confusion_matrix_update(cm, jnp.asarray(true_lbl),
                                          jnp.asarray(pred_lbl))

@@ -91,6 +91,8 @@ def halo_sharded_inference(model, variables, image, mesh,
     ``image``: (H, W, C) or (1, H, W, C); (H + 2*halo) must divide the
     axis size and each shard must be at least ``halo`` rows tall.
     """
+    if halo <= 0:
+        raise ValueError("halo must be positive (x[0:-0] slices are empty)")
     x = jnp.asarray(image, jnp.float32)
     if x.ndim == 3:
         x = x[None]

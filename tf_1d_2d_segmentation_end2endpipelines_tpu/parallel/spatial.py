@@ -123,9 +123,12 @@ def length_sharded_batches(x: np.ndarray, y: np.ndarray, window: int,
     xw, _ = signal_windows(x, window, overlap_ratio)
     yw, _ = signal_windows(y, window, overlap_ratio)
     assert xw.shape[0] == yw.shape[0]
+    epoch = [0]
 
     def batches():
-        order = np.random.default_rng(seed).permutation(xw.shape[0])
+        order = np.random.default_rng(seed + epoch[0]).permutation(
+            xw.shape[0])
+        epoch[0] += 1
         stop = xw.shape[0] - (xw.shape[0] % batch_size)
         for s in range(0, stop or batch_size, batch_size):
             sel = order[s:s + batch_size]
