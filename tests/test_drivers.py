@@ -162,3 +162,16 @@ def test_multiclass_test_driver(tmp_path):
     assert rep["per_class"].shape == (3, 7)
     # ground-truth rows must show all three ordinal labels
     assert (rep["confusion_matrix"].sum(axis=1) > 0).all()
+
+
+def test_summary_subcommand(tmp_path, capsys):
+    """`tpuseg summary <ini>` prints param counts + output heads
+    (reference Train.py:354-359 model.summary)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import summary
+    cfg = TrainConfig(imlength=32, imwidth=32, model_width=4, model_depth=2,
+                      decoder_name="UNetPP", d_s=1)
+    info = summary(config=cfg)
+    assert info["params"] > 0
+    assert set(info["outputs"]) == {"out", "level1", "level2"}
+    out = capsys.readouterr().out
+    assert "Trainable params" in out

@@ -311,6 +311,41 @@ def test(config_path: str = "Test_Configs.ini",
     return reports
 
 
+def summary(config_path: str = "Train_Configs.ini",
+            config: tp.Optional[TrainConfig] = None) -> tp.Dict[str, tp.Any]:
+    """Model summary from a train config (the reference prints Keras
+    ``model.summary()`` + param counts, Train.py:354-359): parameter
+    count, per-collection breakdown, and output heads/shapes."""
+    import jax
+    import jax.numpy as jnp_
+
+    cfg = config if config is not None else load_train_config(config_path)
+    model = _build_model(cfg)
+    sample = jnp_.zeros((1, cfg.imlength, cfg.imwidth, cfg.num_channels),
+                        jnp_.float32)
+    def _build():
+        v = model.init(jax.random.PRNGKey(0), sample, train=False)
+        return v, model.apply(v, sample, train=False)
+
+    variables, outputs = jax.eval_shape(_build)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree.leaves(variables.get("params", {})))
+    n_stats = sum(int(np.prod(l.shape))
+                  for l in jax.tree.leaves(variables.get("batch_stats", {})))
+    info = {
+        "model": f"{cfg.encoder_name}_{cfg.decoder_name}",
+        "params": n_params,
+        "batch_stats": n_stats,
+        "outputs": {k: tuple(v.shape) for k, v in outputs.items()},
+    }
+    print(f"Model: {info['model']}")
+    print(f"Trainable params:     {n_params:,}")
+    print(f"BatchNorm statistics: {n_stats:,}")
+    for k, shape in sorted(info["outputs"].items()):
+        print(f"  output {k}: {shape}")
+    return info
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     import argparse
     parser = argparse.ArgumentParser(prog="tpuseg")
@@ -319,9 +354,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_train.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_test = sub.add_parser("test")
     p_test.add_argument("config", nargs="?", default="Test_Configs.ini")
+    p_sum = sub.add_parser("summary")
+    p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     args = parser.parse_args(argv)
     if args.cmd == "train":
         train(args.config)
+    elif args.cmd == "summary":
+        summary(args.config)
     else:
         test(args.config)
 
