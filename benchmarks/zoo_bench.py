@@ -50,7 +50,7 @@ def main(part: int = 0) -> None:
     from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (
         prepare_train_dict, synthetic_images, synthetic_signals)
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
-        BCDUNet, SEDUNet, SegModel, UNet1D)
+        BCDUNet, NABNet, SEDUNet, SegModel, UNet1D)
     from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
         default_ds_weights)
 
@@ -118,6 +118,8 @@ def main(part: int = 0) -> None:
                                              loss="MeanAbsoluteError")
         m = SEDUNet(model_width=32, model_depth=3, se_ratio=8, dtype=dt)
         results["1d_SEDUNet"] = measure(m, x1, y1, loss="MeanAbsoluteError")
+        m = NABNet(model_width=32, model_depth=3, dense_loop=2, dtype=dt)
+        results["1d_NABNet"] = measure(m, x1, y1, loss="MeanAbsoluteError")
     if want(5):
         x2 = rng.normal(size=(max(B2 // 2, 1), S, S, 3)).astype(np.float32)
         y2 = (rng.uniform(size=(max(B2 // 2, 1), S, S, 1)) > 0.5
