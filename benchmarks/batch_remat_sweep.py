@@ -1,0 +1,106 @@
+"""Perf experiment: can rematerialization or bf16 optimizer moments buy a
+larger batch than the b56 plateau (and more img/s/chip)?
+
+Round-2 findings so far: step time plateaus ~208 ms over b48-b56, b60+
+OOMs the remote compiler; remat at b32 was a loss (dots -12%, full -25%).
+Hypothesis: remat/bf16-moments shrink live memory enough for b96+, and
+throughput keeps scaling with batch past the plateau.
+
+Usage: python benchmarks/batch_remat_sweep.py [variant ...]
+  variant = "<batch>:<mode>" with mode in {plain, dots, full, bf16mu}
+Prints one JSON line per variant (failures recorded, not fatal).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(batch: int, mode: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        make_mesh, replicated, shard_batch)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        create_train_state, get_loss, make_optimizer)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.losses import (
+        deep_supervision_loss)
+
+    size = 256
+    model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
+                     output_nums=1, final_activation="sigmoid",
+                     dtype=jnp.bfloat16)
+    policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
+              "full": jax.checkpoint_policies.nothing_saveable}.get(mode)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, size, size, 3)).astype(np.float32)
+    y = (rng.uniform(size=(batch, size, size, 1)) > 0.5).astype(np.float32)
+
+    mesh = make_mesh()
+    optimizer = (optax.adam(1e-3, mu_dtype=jnp.bfloat16) if mode == "bf16mu"
+                 else make_optimizer("Adam", 1e-3))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x[:1]), optimizer)
+    state = jax.device_put(state, replicated(mesh))
+    loss_fn = get_loss("BCEDiceLoss")
+
+    def train_step(state, x, y, metric_states=()):
+        targets = {"out": y}
+
+        def inner(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            outputs, updated = model.apply(variables, x, train=True,
+                                           mutable=["batch_stats"])
+            outputs32 = jax.tree.map(lambda t: t.astype(jnp.float32),
+                                     outputs)
+            loss = deep_supervision_loss(loss_fn, outputs32, targets, None)
+            return loss, (updated["batch_stats"],)
+
+        if policy is not None:
+            inner = jax.checkpoint(inner, policy=policy)
+        (loss, (new_bs,)), grads = jax.value_and_grad(
+            inner, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_bs, opt_state=new_opt), loss, ()
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    b = shard_batch(mesh, {"x": x, "y": y})
+    for _ in range(3):
+        state, loss, _ = step(state, b["x"], b["y"], ())
+    float(loss)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss, _ = step(state, b["x"], b["y"], ())
+    assert np.isfinite(float(loss))
+    dt = time.perf_counter() - t0
+    return {"batch": batch, "mode": mode,
+            "ips_per_chip": round(batch * iters / dt, 2),
+            "step_ms": round(dt / iters * 1e3, 2)}
+
+
+def main():
+    variants = sys.argv[1:] or ["56:plain", "64:plain", "64:bf16mu",
+                                "96:dots", "112:dots", "112:full"]
+    for v in variants:
+        b, m = v.split(":")
+        try:
+            print(json.dumps(run(int(b), m)), flush=True)
+        except Exception as e:  # noqa: BLE001 — record OOMs and move on
+            print(json.dumps({"batch": int(b), "mode": m,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

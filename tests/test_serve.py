@@ -1,0 +1,96 @@
+"""Serving layer: AOT export round-trip, padded-batch predictor, HTTP
+server (new TPU-native deployment path; the reference has none —
+SURVEY.md §5 'distributed communication backend: None', Test.py:161
+predicts one image at a time from a live session)."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+    Predictor, export_model, load_exported, make_server)
+from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+    TrainConfig)
+
+
+def _tiny_trainer(size=32, width=4, depth=2):
+    model = SegModel(decoder_name="UNet", model_width=width,
+                     model_depth=depth, output_nums=1,
+                     final_activation="sigmoid")
+    trainer = Trainer(model)
+    trainer.init_state(np.zeros((1, size, size, 3), np.float32))
+    return model, trainer
+
+
+def test_export_roundtrip(tmp_path):
+    """Serialized StableHLO artifact reproduces the live forward exactly
+    and enforces its static input shape."""
+    model, trainer = _tiny_trainer()
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(
+        np.float32)
+    path = export_model(model, trainer.state, (2, 32, 32, 3),
+                        str(tmp_path / "m.stablehlo"))
+    call = load_exported(path)
+    got = np.asarray(call(x))
+    want = np.asarray(trainer.predict(x)["out"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    with pytest.raises(ValueError, match="expects input shape"):
+        call(x[:1])
+
+
+def test_predictor_padding_matches_direct():
+    """Requests not divisible by max_batch are padded/chunked without
+    changing the results (and without recompiling)."""
+    model, trainer = _tiny_trainer()
+    pred = Predictor(model, trainer.state, (32, 32, 3), max_batch=4)
+    x = np.random.default_rng(1).normal(size=(7, 32, 32, 3)).astype(
+        np.float32)
+    got = pred(x)
+    want = np.asarray(trainer.predict(x)["out"])
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_http_server_predict(tmp_path):
+    """POST an encoded image -> PNG label mask of the model size; /info
+    and /healthz respond."""
+    from PIL import Image
+
+    cfg = TrainConfig(imlength=32, imwidth=32, num_channels=3,
+                      decoder_name="UNet", model_width=4, model_depth=2,
+                      output_nums=1, class_number=1,
+                      save_dir=str(tmp_path))
+    server = make_server(cfg, str(tmp_path / "Fold_1"), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+        info = json.loads(urllib.request.urlopen(base + "/info").read())
+        assert info["input_size"] == [32, 32, 3]
+
+        img = Image.fromarray(
+            (np.random.default_rng(2).uniform(size=(48, 48, 3)) * 255
+             ).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        req = urllib.request.Request(base + "/predict", data=buf.getvalue(),
+                                     method="POST")
+        resp = urllib.request.urlopen(req)
+        assert resp.headers["Content-Type"] == "image/png"
+        mask = Image.open(io.BytesIO(resp.read()))
+        assert mask.size == (32, 32)
+
+        bad = urllib.request.Request(base + "/predict", data=b"not an image",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -346,6 +346,31 @@ def summary(config_path: str = "Train_Configs.ini",
     return info
 
 
+def export(config_path: str = "Train_Configs.ini",
+           config: tp.Optional[TrainConfig] = None,
+           out_path: str = "model.stablehlo", fold: int = 1,
+           batch: int = 1) -> str:
+    """Export the trained fold checkpoint as a portable AOT StableHLO
+    inference artifact (see ``serve.export_model``).  No reference
+    equivalent — the reference redeploys by reloading the whole Keras
+    session (Test.py:110-116)."""
+    from .serve import export_model
+    from .train import Trainer
+
+    cfg = config if config is not None else load_train_config(config_path)
+    model = _build_model(cfg)
+    trainer = Trainer(model)
+    shape = (batch, cfg.imlength, cfg.imwidth, cfg.num_channels)
+    trainer.init_state(np.zeros((1, *shape[1:]), np.float32))
+    ckpt = CheckpointManager(_fold_dir(cfg, fold))
+    if ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    path = export_model(model, trainer.state, shape, out_path)
+    print(f"exported {cfg.encoder_name}_{cfg.decoder_name} "
+          f"(input {shape}) -> {path}", flush=True)
+    return path
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     import argparse
     parser = argparse.ArgumentParser(prog="tpuseg")
@@ -356,11 +381,30 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_test.add_argument("config", nargs="?", default="Test_Configs.ini")
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_srv = sub.add_parser("serve")
+    p_srv.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_srv.add_argument("--host", default="127.0.0.1")
+    p_srv.add_argument("--port", type=int, default=8000)
+    p_srv.add_argument("--fold", type=int, default=1)
+    p_srv.add_argument("--max-batch", type=int, default=1)
+    p_srv.add_argument("--threshold", type=float, default=0.5)
+    p_exp = sub.add_parser("export")
+    p_exp.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_exp.add_argument("--out", default="model.stablehlo")
+    p_exp.add_argument("--fold", type=int, default=1)
+    p_exp.add_argument("--batch", type=int, default=1)
     args = parser.parse_args(argv)
     if args.cmd == "train":
         train(args.config)
     elif args.cmd == "summary":
         summary(args.config)
+    elif args.cmd == "serve":
+        from .serve import serve as _serve
+        _serve(args.config, host=args.host, port=args.port, fold=args.fold,
+               max_batch=args.max_batch, threshold=args.threshold)
+    elif args.cmd == "export":
+        export(args.config, out_path=args.out, fold=args.fold,
+               batch=args.batch)
     else:
         test(args.config)
 

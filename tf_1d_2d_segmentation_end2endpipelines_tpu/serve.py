@@ -1,0 +1,279 @@
+"""Model export (AOT StableHLO artifacts) + a minimal HTTP inference
+server.
+
+The reference has no deployment story: its inference path is Test.py
+calling ``model.predict`` one image per call (2DCNN/Test.py:161) from a
+live Keras session.  This module is the TPU-native serving path:
+
+- :func:`export_model` — serialize the jitted inference function, with
+  the trained weights baked in as constants, to a portable StableHLO
+  artifact via ``jax.export``.  The artifact reloads WITHOUT any of the
+  model-building code and runs on every platform it was lowered for
+  (cpu + tpu by default), so a serving fleet never imports the zoo.
+- :func:`load_exported` — deserialize an artifact back to a callable.
+- :class:`Predictor` — fixed-shape padded micro-batching around one
+  jitted forward: a single compile serves any request size (no
+  shape-polymorphic recompiles in the serving hot path).
+- :func:`serve` — stdlib ``ThreadingHTTPServer``: POST an image, get a
+  PNG mask back.  Zero dependencies beyond PIL (already used by the
+  data layer).
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+import typing as tp
+
+import numpy as np
+
+__all__ = ["export_model", "load_exported", "Predictor", "serve"]
+
+
+# ---------------------------------------------------------------------------
+# AOT export
+# ---------------------------------------------------------------------------
+
+def _infer_fn(model, params, batch_stats):
+    def fn(x):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, x, train=False)["out"]
+    return fn
+
+
+def export_model(model, state, input_shape: tp.Sequence[int],
+                 path: str, dtype=None,
+                 platforms: tp.Optional[tp.Sequence[str]] = None) -> str:
+    """Serialize the inference function (weights baked in) to ``path``.
+
+    ``input_shape`` is the FULL batched input shape, e.g.
+    ``(8, 256, 256, 3)`` — the artifact is compiled for exactly that
+    shape (static shapes are the TPU serving contract; wrap with
+    :class:`Predictor`-style padding for variable request sizes).
+
+    ``platforms`` defaults to ``('cpu', 'tpu')`` so one artifact serves
+    both a CPU canary and the TPU fleet; falls back to the current
+    platform if multi-platform lowering is unavailable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float32
+    fn = _infer_fn(model, state.params, state.batch_stats)
+    spec = jax.ShapeDtypeStruct(tuple(input_shape), dtype)
+    try:
+        exported = jax.export.export(
+            jax.jit(fn), platforms=tuple(platforms or ("cpu", "tpu")))(spec)
+    except Exception:
+        # older jax / single-platform lowering only
+        exported = jax.export.export(jax.jit(fn))(spec)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_exported(path: str) -> tp.Callable:
+    """Deserialize a :func:`export_model` artifact to a callable.
+
+    Needs only jax — none of the framework's model code."""
+    import jax
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax.export.deserialize(bytearray(blob))
+    in_shape = tuple(exported.in_avals[0].shape)
+
+    def call(x):
+        x = np.asarray(x)
+        if tuple(x.shape) != in_shape:
+            raise ValueError(
+                f"exported artifact expects input shape {in_shape}, "
+                f"got {tuple(x.shape)}")
+        return exported.call(x)
+
+    call.input_shape = in_shape  # type: ignore[attr-defined]
+    return call
+
+
+# ---------------------------------------------------------------------------
+# Padded micro-batching predictor
+# ---------------------------------------------------------------------------
+
+class Predictor:
+    """One-compile batched inference: requests of any size are padded to
+    a fixed ``max_batch`` and run in chunks, so the serving path never
+    triggers an XLA recompile (the TPU analog of a serving runtime's
+    static-batch scheduler)."""
+
+    def __init__(self, model, state, input_size: tp.Tuple[int, int, int],
+                 max_batch: int = 8, dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.max_batch = int(max_batch)
+        self.input_size = tuple(input_size)
+        self._dtype = dtype or jnp.float32
+        self._fn = jax.jit(_infer_fn(model, state.params,
+                                     state.batch_stats))
+        # compile once up front on zeros (cached thereafter)
+        warm = jnp.zeros((self.max_batch, *self.input_size), self._dtype)
+        jax.block_until_ready(self._fn(warm))
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        x = np.asarray(x, np.float32)
+        if x.shape[1:] != self.input_size:
+            raise ValueError(f"expected inputs of shape "
+                             f"(N, {', '.join(map(str, self.input_size))}),"
+                             f" got {tuple(x.shape)}")
+        n = x.shape[0]
+        outs = []
+        for start in range(0, n, self.max_batch):
+            chunk = x[start:start + self.max_batch]
+            pad = self.max_batch - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *self.input_size), np.float32)])
+            out = np.asarray(self._fn(jnp.asarray(chunk, self._dtype)),
+                             np.float32)
+            outs.append(out[:self.max_batch - pad])
+        return np.concatenate(outs) if outs else np.zeros(
+            (0, *self.input_size[:-1], 1), np.float32)
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+def _mask_to_png(label: np.ndarray, n_classes: int) -> bytes:
+    from PIL import Image
+
+    scale = 255 // max(n_classes - 1, 1)
+    buf = io.BytesIO()
+    Image.fromarray((label * scale).astype(np.uint8)).save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _decode_request(body: bytes, size: tp.Tuple[int, int], color_mode: str,
+                    nf: float) -> np.ndarray:
+    # same decode/resize/normalize convention as the data layer's
+    # load_image (generators.py), from an in-memory stream
+    from PIL import Image
+    img = Image.open(io.BytesIO(body))
+    img = img.convert("L" if color_mode == "grayscale" else "RGB")
+    if img.size != (size[1], size[0]):
+        img = img.resize((size[1], size[0]), Image.LANCZOS)
+    arr = np.asarray(img, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr / nf
+
+
+def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
+                port: int = 8000, max_batch: int = 1, threshold: float = 0.5,
+                dtype=None):
+    """Build (but do not start) the HTTP server.  Returns the
+    ``http.server.ThreadingHTTPServer`` — call ``serve_forever()`` on it
+    (or ``handle_request()`` in tests).
+
+    Routes:
+      - ``GET  /healthz``  -> 200 ``ok``
+      - ``GET  /info``     -> model/config JSON
+      - ``POST /predict``  -> request body = encoded image (PNG/JPEG/...),
+        response = PNG label mask (binary: thresholded; multiclass: the
+        reference's sum-of-binarized ordinal rule, Test.py:169-175)
+    """
+    import http.server
+
+    import jax.numpy as jnp
+
+    from .drivers import _build_model
+    from .train import CheckpointManager, Trainer
+
+    dtype = dtype or jnp.float32
+    model = _build_model(train_cfg, dtype=dtype)
+    trainer = Trainer(model)
+    size = (train_cfg.imlength, train_cfg.imwidth)
+    trainer.init_state(np.zeros((1, *size, train_cfg.num_channels),
+                                np.float32))
+    ckpt = CheckpointManager(ckpt_dir)
+    if ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    predictor = Predictor(model, trainer.state,
+                          (*size, train_cfg.num_channels),
+                          max_batch=max_batch, dtype=dtype)
+    n_fg = max(train_cfg.class_number, 1)
+    info = {
+        "model": f"{train_cfg.encoder_name}_{train_cfg.decoder_name}",
+        "input_size": [*size, train_cfg.num_channels],
+        "class_number": train_cfg.class_number,
+        "threshold": threshold,
+        "max_batch": max_batch,
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/info":
+                self._send(200, json.dumps(info).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                self._send(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                x = _decode_request(body, size, train_cfg.image_color_mode,
+                                    train_cfg.normalizing_factor_img)
+                pred = predictor(x[None])[0]
+                if train_cfg.class_number <= 1:
+                    label = (pred[..., 0] > threshold).astype(np.int32)
+                else:
+                    label = (pred[..., :n_fg] > threshold).astype(
+                        np.int32).sum(-1)
+                self._send(200, _mask_to_png(label, n_fg + 1), "image/png")
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._send(400, f"error: {e}".encode(), "text/plain")
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
+          port: int = 8000, fold: int = 1, max_batch: int = 1,
+          threshold: float = 0.5) -> None:
+    """CLI entry: load the persisted train config + fold checkpoint and
+    serve forever."""
+    from .utils.config import load_train_config
+
+    cfg = load_train_config(config_path)
+    ckpt_dir = os.path.join(cfg.save_dir or "", f"Fold_{fold}")
+    server = make_server(cfg, ckpt_dir, host=host, port=port,
+                         max_batch=max_batch, threshold=threshold)
+    print(f"tpuseg serving {cfg.encoder_name}_{cfg.decoder_name} on "
+          f"http://{host}:{server.server_address[1]}  (POST /predict)",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
