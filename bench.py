@@ -38,11 +38,16 @@ def main() -> None:
         create_train_state, get_loss, make_optimizer, make_train_step)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # batch 56: throughput-optimal on v5e (step time plateaus ~208 ms from
-    # b48-b56, so images/step wins; b60+ OOMs the remote compiler)
-    batch = 56 if on_tpu else 4
+    # batch 128 + remat('dots'): throughput-optimal on v5e.  Step time
+    # plateaus with batch while throughput keeps scaling; 'dots' remat
+    # (save MXU results, recompute the rest in backward) shrinks live
+    # activation memory so b128 fits where the plain step stops at b56
+    # (benchmarks/batch_remat_sweep.py: 56:plain=270, 128:dots=450
+    # img/s/chip; b136+ fails the remote compiler)
+    batch = 128 if on_tpu else 4
     size = 256 if on_tpu else 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    remat = "dots" if on_tpu else None
 
     model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
                      output_nums=1, final_activation="sigmoid", dtype=dtype)
@@ -56,7 +61,7 @@ def main() -> None:
                                jnp.asarray(x[:1]), optimizer)
     state = jax.device_put(state, replicated(mesh))
     step = jax.jit(make_train_step(model, optimizer,
-                                   get_loss("BCEDiceLoss")),
+                                   get_loss("BCEDiceLoss"), remat=remat),
                    donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})
 

@@ -11,10 +11,14 @@ Usage: python benchmarks/batch_remat_sweep.py [variant ...]
 Prints one JSON line per variant (failures recorded, not fatal).
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
 
 
 def run(batch: int, mode: str) -> dict:

@@ -139,3 +139,35 @@ def test_nabnet_builds_and_trains_1d():
     out = ds.apply(v, x[:1], train=False)
     assert set(out) == {"out", "level1", "level2"}
     assert out["out"].shape == (1, 64, 1)
+
+
+@pytest.mark.parametrize("remat", ["dots", "full"])
+def test_remat_train_step_matches_plain(remat):
+    """jax.checkpoint remat is a pure memory/FLOPs trade: per-step losses
+    must match the plain step bit-for-bit-ish (same graph numerics)."""
+    x, y = synthetic_images(8, size=16, channels=1)
+    losses = {}
+    for mode in (None, remat):
+        model = SegModel(decoder_name="UNetPP", model_width=4,
+                         model_depth=2, output_nums=1,
+                         final_activation="sigmoid")
+        tr = Trainer(model, loss="BCEDiceLoss", optimizer="Adam",
+                     learning_rate=1e-3, seed=7, remat=mode)
+        tr.init_state(x[:4])
+        hist = tr.fit(batches(x, y, 4), epochs=3, verbose=0)
+        losses[mode] = hist["loss"]
+    np.testing.assert_allclose(losses[remat], losses[None],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_remat_unknown_policy_rejected():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        make_train_step)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.losses import (
+        get_loss)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.optimizers import (
+        make_optimizer)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2)
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        make_train_step(model, make_optimizer("Adam", 1e-3),
+                        get_loss("BinaryCrossentropy"), remat="bogus")

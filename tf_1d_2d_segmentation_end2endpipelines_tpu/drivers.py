@@ -159,6 +159,7 @@ def train(config_path: str = "Train_Configs.ini",
             loss_weights=loss_weights,
             num_classes=max(cfg.class_number + 1, 2),
             seed=cfg.seed,
+            remat=cfg.remat or None,
         )
         sample = np.zeros((1, cfg.imlength if not cfg.patchify
                            else cfg.patch_width,

@@ -51,6 +51,25 @@ def _as_target_dict(y) -> tp.Dict[str, jax.Array]:
     return {"out": y}
 
 
+#: remat policies by name: 'dots' saves only MXU (conv/matmul) results and
+#: recomputes everything else in the backward pass; 'full' saves nothing.
+#: On v5e, 'dots' shrinks live activation memory enough to raise the
+#: flagship UNet++ 256² bf16 batch from 56 to 128 — 270 -> 450 img/s/chip
+#: (benchmarks/batch_remat_sweep.py) — because step time plateaus with
+#: batch while throughput keeps scaling.
+REMAT_POLICIES = {"dots": "checkpoint_dots", "full": "nothing_saveable"}
+
+
+def _remat_policy(name: tp.Optional[str]):
+    if not name:
+        return None
+    try:
+        return getattr(jax.checkpoint_policies, REMAT_POLICIES[name])
+    except KeyError:
+        raise ValueError(f"unknown remat policy {name!r}; "
+                         f"expected one of {sorted(REMAT_POLICIES)}")
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
@@ -58,9 +77,14 @@ def make_train_step(
     loss_weights: tp.Optional[tp.Dict[str, float]] = None,
     metrics: tp.Sequence[Metric] = (),
     seed: int = 0,
+    remat: tp.Optional[str] = None,
 ) -> tp.Callable:
     """Build the fused train step: forward + DS loss + backward + update +
-    metric accumulation, one compiled program."""
+    metric accumulation, one compiled program.  ``remat`` ('dots'/'full')
+    rematerializes the forward under ``jax.checkpoint`` — numerically
+    identical, trades recompute FLOPs for activation memory (larger
+    batches)."""
+    policy = _remat_policy(remat)
 
     def train_step(state: TrainState, x: jax.Array, y,
                    metric_states: tp.Tuple = ()):
@@ -90,7 +114,9 @@ def make_train_step(
                                          loss_weights)
             return loss, (outputs32, new_bs)
 
-        grad_fn = jax.value_and_grad(loss_inner, has_aux=True)
+        inner = (jax.checkpoint(loss_inner, policy=policy)
+                 if policy is not None else loss_inner)
+        grad_fn = jax.value_and_grad(inner, has_aux=True)
         (loss, (outputs, new_bs)), grads = grad_fn(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)

@@ -45,6 +45,7 @@ class Trainer:
         mesh=None,
         seed: int = 42,
         frozen_tokens: tp.Sequence[str] = (),
+        remat: tp.Optional[str] = None,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else local_mesh()
@@ -57,6 +58,7 @@ class Trainer:
             self.optimizer = freeze_subtrees(self.optimizer, frozen_tokens)
         self.metric_defs: tp.List[Metric] = [
             make_metric(m, num_classes=num_classes) for m in metrics]
+        self.remat = remat
         self.seed = seed
         self.state: tp.Optional[TrainState] = None
         self._train_step = None
@@ -77,7 +79,7 @@ class Trainer:
             rep = replicated(self.mesh)
             step = make_train_step(self.model, self.optimizer, self.loss_fn,
                                    self.loss_weights, self.metric_defs,
-                                   seed=self.seed)
+                                   seed=self.seed, remat=self.remat)
             self._train_step = jax.jit(step, donate_argnums=(0,))
             self._eval_step = jax.jit(
                 make_eval_step(self.model, self.loss_fn, self.loss_weights,

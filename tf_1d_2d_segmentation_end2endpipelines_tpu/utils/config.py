@@ -69,6 +69,10 @@ class TrainConfig:
     save_dir: str = "Results"
     task_name: str = "None"
     seed: int = 1
+    # remat ('', 'dots', 'full'): rematerialize the forward under
+    # jax.checkpoint — exact same numbers, less activation memory, larger
+    # feasible batches (new capability; see train.state.REMAT_POLICIES)
+    remat: str = ""
     # patching / deep supervision
     patchify: bool = False
     patch_width: int = 64
