@@ -7,7 +7,8 @@ Hypothesis: remat/bf16-moments shrink live memory enough for b96+, and
 throughput keeps scaling with batch past the plateau.
 
 Usage: python benchmarks/batch_remat_sweep.py [variant ...]
-  variant = "<batch>:<mode>" with mode in {plain, dots, full, bf16mu}
+  variant = "<batch>:<mode>[:<model>]" with mode in {plain, dots, full,
+  bf16mu} and model in {unetpp (default), unet, multires, agunet, unet3p}
 Prints one JSON line per variant (failures recorded, not fatal).
 """
 import json
@@ -21,14 +22,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def run(batch: int, mode: str) -> dict:
+def _build_model(name: str, dtype):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    if name == "unet":
+        return SegModel(decoder_name="UNet", model_width=32, model_depth=4,
+                        output_nums=1, final_activation="sigmoid",
+                        dtype=dtype)
+    if name == "multires":
+        return SegModel(decoder_name="MultiResUNet", model_width=32,
+                        model_depth=4, output_nums=1,
+                        final_activation="sigmoid", dtype=dtype)
+    if name == "agunet":
+        return SegModel(decoder_name="UNet", model_width=32, model_depth=4,
+                        output_nums=1, ag=1, final_activation="sigmoid",
+                        dtype=dtype)
+    if name == "unet3p":
+        return SegModel(decoder_name="UNet3P", model_width=32,
+                        model_depth=4, output_nums=1,
+                        final_activation="sigmoid", dtype=dtype)
+    return SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
+                    output_nums=1, final_activation="sigmoid", dtype=dtype)
+
+
+def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
     import jax
     import jax.numpy as jnp
     import optax
 
     from __graft_entry__ import _enable_compile_cache
     _enable_compile_cache()
-    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
     from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
         make_mesh, replicated, shard_batch)
     from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
@@ -37,9 +59,7 @@ def run(batch: int, mode: str) -> dict:
         deep_supervision_loss)
 
     size = 256
-    model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
-                     output_nums=1, final_activation="sigmoid",
-                     dtype=jnp.bfloat16)
+    model = _build_model(model_name, jnp.bfloat16)
     policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
               "full": jax.checkpoint_policies.nothing_saveable}.get(mode)
 
@@ -56,7 +76,7 @@ def run(batch: int, mode: str) -> dict:
     loss_fn = get_loss("BCEDiceLoss")
 
     def train_step(state, x, y, metric_states=()):
-        targets = {"out": y}
+        targets = y if isinstance(y, dict) else {"out": y}
 
         def inner(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -88,7 +108,7 @@ def run(batch: int, mode: str) -> dict:
         state, loss, _ = step(state, b["x"], b["y"], ())
     assert np.isfinite(float(loss))
     dt = time.perf_counter() - t0
-    return {"batch": batch, "mode": mode,
+    return {"model": model_name, "batch": batch, "mode": mode,
             "ips_per_chip": round(batch * iters / dt, 2),
             "step_ms": round(dt / iters * 1e3, 2)}
 
@@ -97,11 +117,13 @@ def main():
     variants = sys.argv[1:] or ["56:plain", "64:plain", "64:bf16mu",
                                 "96:dots", "112:dots", "112:full"]
     for v in variants:
-        b, m = v.split(":")
+        parts = v.split(":")
+        b, m = int(parts[0]), parts[1]
+        name = parts[2] if len(parts) > 2 else "unetpp"
         try:
-            print(json.dumps(run(int(b), m)), flush=True)
+            print(json.dumps(run(b, m, name)), flush=True)
         except Exception as e:  # noqa: BLE001 — record OOMs and move on
-            print(json.dumps({"batch": int(b), "mode": m,
+            print(json.dumps({"model": name, "batch": b, "mode": m,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
 
