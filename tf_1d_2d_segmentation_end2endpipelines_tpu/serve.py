@@ -205,6 +205,9 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
     ckpt = CheckpointManager(ckpt_dir)
     if ckpt.exists("best"):
         trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {ckpt_dir}; "
+              "serving freshly initialized weights", flush=True)
     predictor = Predictor(model, trainer.state,
                           (*size, train_cfg.num_channels),
                           max_batch=max_batch, dtype=dtype)
