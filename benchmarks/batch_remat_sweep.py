@@ -55,13 +55,11 @@ def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
         make_mesh, replicated, shard_batch)
     from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
         create_train_state, get_loss, make_optimizer)
-    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.losses import (
-        deep_supervision_loss)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        make_train_step)
 
     size = 256
     model = _build_model(model_name, jnp.bfloat16)
-    policy = {"dots": jax.checkpoint_policies.checkpoint_dots,
-              "full": jax.checkpoint_policies.nothing_saveable}.get(mode)
 
     rng = np.random.default_rng(0)
     x = rng.normal(size=(batch, size, size, 3)).astype(np.float32)
@@ -73,30 +71,11 @@ def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.asarray(x[:1]), optimizer)
     state = jax.device_put(state, replicated(mesh))
-    loss_fn = get_loss("BCEDiceLoss")
-
-    def train_step(state, x, y, metric_states=()):
-        targets = y if isinstance(y, dict) else {"out": y}
-
-        def inner(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            outputs, updated = model.apply(variables, x, train=True,
-                                           mutable=["batch_stats"])
-            outputs32 = jax.tree.map(lambda t: t.astype(jnp.float32),
-                                     outputs)
-            loss = deep_supervision_loss(loss_fn, outputs32, targets, None)
-            return loss, (updated["batch_stats"],)
-
-        if policy is not None:
-            inner = jax.checkpoint(inner, policy=policy)
-        (loss, (new_bs,)), grads = jax.value_and_grad(
-            inner, has_aux=True)(state.params)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return state.replace(step=state.step + 1, params=new_params,
-                             batch_stats=new_bs, opt_state=new_opt), loss, ()
-
+    # the framework's own step (so sweep numbers stay representative of
+    # the shipped train path); remat modes map straight onto its arg
+    train_step = make_train_step(
+        model, optimizer, get_loss("BCEDiceLoss"),
+        remat=mode if mode in ("dots", "full") else None)
     step = jax.jit(train_step, donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})
     for _ in range(3):

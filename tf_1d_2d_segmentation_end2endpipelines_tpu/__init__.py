@@ -21,6 +21,6 @@ TensorFlow-Keras model zoo in Sakib1263/TF-1D-2D-Segmentation-End2EndPipelines
 Import alias: ``import tpuseg`` works via the shim in ``tpuseg.py``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from . import ops  # noqa: F401

@@ -366,6 +366,9 @@ def export(config_path: str = "Train_Configs.ini",
     ckpt = CheckpointManager(_fold_dir(cfg, fold))
     if ckpt.exists("best"):
         trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {_fold_dir(cfg, fold)};"
+              " exporting freshly initialized weights", flush=True)
     path = export_model(model, trainer.state, shape, out_path)
     print(f"exported {cfg.encoder_name}_{cfg.decoder_name} "
           f"(input {shape}) -> {path}", flush=True)

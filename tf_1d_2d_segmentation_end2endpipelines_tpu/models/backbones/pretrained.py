@@ -80,10 +80,14 @@ def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,
     ``weights``: None (random -- structure/parity testing), 'imagenet'
     (requires network or keras cache), or a local .h5 path.
     """
+    if name == "CheXNet":
+        # DenseNet121 arch + local CheXNet_TF_Weights.h5 (pass the .h5
+        # path as ``weights``; reference unet_variants.py:3439-3445)
+        return load_chexnet_weights(flax_backbone, sample, weights)
     if name not in KERAS_BUILDERS:
         raise NotImplementedError(
             f"exact keras.applications conversion implemented for "
-            f"{EXACT_FAMILIES}; {name!r} pending (see PROGRESS.md)")
+            f"{EXACT_FAMILIES} plus CheXNet; unknown backbone {name!r}")
     import importlib
     from ...utils.keras_compat import (KerasCreationRecorder,
                                        convert_keras_weights)

@@ -104,6 +104,11 @@ def signal_windows(signal: np.ndarray, window: int, overlap_ratio: float
     if sig.ndim == 2:
         sig = sig[None]
     L = sig.shape[1]
+    if L < window:
+        raise ValueError(
+            f"signal length {L} is shorter than window {window}; pad the "
+            "signal or choose window <= L (short windows would silently "
+            "change the train step's compiled shape)")
     step = max(int(window * (1 - overlap_ratio)), 1)
     starts = list(range(0, max(L - window, 0) + 1, step))
     if not starts:

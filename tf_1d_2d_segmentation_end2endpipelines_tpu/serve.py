@@ -122,7 +122,8 @@ class Predictor:
                                      state.batch_stats))
         # compile once up front on zeros (cached thereafter)
         warm = jnp.zeros((self.max_batch, *self.input_size), self._dtype)
-        jax.block_until_ready(self._fn(warm))
+        out = jax.block_until_ready(self._fn(warm))
+        self.output_shape = tuple(out.shape[1:])
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
@@ -144,7 +145,7 @@ class Predictor:
                              np.float32)
             outs.append(out[:self.max_batch - pad])
         return np.concatenate(outs) if outs else np.zeros(
-            (0, *self.input_size[:-1], 1), np.float32)
+            (0, *self.output_shape), np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -244,11 +245,15 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
             if not self.path.startswith("/predict"):
                 self._send(404, b"not found", "text/plain")
                 return
-            try:
+            try:  # client errors (undecodable image) -> 400
                 length = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(length)
                 x = _decode_request(body, size, train_cfg.image_color_mode,
                                     train_cfg.normalizing_factor_img)
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._send(400, f"error: {e}".encode(), "text/plain")
+                return
+            try:  # server-side faults (predict/encode) -> 500
                 pred = predictor(x[None])[0]
                 if train_cfg.class_number <= 1:
                     label = (pred[..., 0] > threshold).astype(np.int32)
@@ -256,8 +261,8 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
                     label = (pred[..., :n_fg] > threshold).astype(
                         np.int32).sum(-1)
                 self._send(200, _mask_to_png(label, n_fg + 1), "image/png")
-            except Exception as e:  # noqa: BLE001 — serving must not die
-                self._send(400, f"error: {e}".encode(), "text/plain")
+            except Exception as e:  # noqa: BLE001
+                self._send(500, f"error: {e}".encode(), "text/plain")
 
     return http.server.ThreadingHTTPServer((host, port), Handler)
 
