@@ -7,8 +7,10 @@ Hypothesis: remat/bf16-moments shrink live memory enough for b96+, and
 throughput keeps scaling with batch past the plateau.
 
 Usage: python benchmarks/batch_remat_sweep.py [variant ...]
-  variant = "<batch>:<mode>[:<model>]" with mode in {plain, dots, full,
-  bf16mu} and model in {unetpp (default), unet, multires, agunet, unet3p}
+  variant = "<batch>:<mode>[:<model>[:<accum>]]" with mode in {plain,
+  dots, full, bf16mu}, model in {unetpp (default), unet, multires,
+  agunet, unet3p}; accum = gradient-accumulation microbatch count
+  (batch is the TOTAL effective batch, split into accum microbatches)
 Prints one JSON line per variant (failures recorded, not fatal).
 """
 import json
@@ -44,7 +46,8 @@ def _build_model(name: str, dtype):
                     output_nums=1, final_activation="sigmoid", dtype=dtype)
 
 
-def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
+def run(batch: int, mode: str, model_name: str = "unetpp",
+        accum: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -75,7 +78,8 @@ def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
     # the shipped train path); remat modes map straight onto its arg
     train_step = make_train_step(
         model, optimizer, get_loss("BCEDiceLoss"),
-        remat=mode if mode in ("dots", "full") else None)
+        remat=mode if mode in ("dots", "full") else None,
+        accum_steps=accum)
     step = jax.jit(train_step, donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})
     for _ in range(3):
@@ -88,6 +92,7 @@ def run(batch: int, mode: str, model_name: str = "unetpp") -> dict:
     assert np.isfinite(float(loss))
     dt = time.perf_counter() - t0
     return {"model": model_name, "batch": batch, "mode": mode,
+            "accum": accum,
             "ips_per_chip": round(batch * iters / dt, 2),
             "step_ms": round(dt / iters * 1e3, 2)}
 
@@ -99,10 +104,12 @@ def main():
         parts = v.split(":")
         b, m = int(parts[0]), parts[1]
         name = parts[2] if len(parts) > 2 else "unetpp"
+        acc = int(parts[3]) if len(parts) > 3 else 1
         try:
-            print(json.dumps(run(b, m, name)), flush=True)
+            print(json.dumps(run(b, m, name, acc)), flush=True)
         except Exception as e:  # noqa: BLE001 — record OOMs and move on
             print(json.dumps({"model": name, "batch": b, "mode": m,
+                              "accum": acc,
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
 

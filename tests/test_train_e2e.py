@@ -171,3 +171,76 @@ def test_remat_unknown_policy_rejected():
     with pytest.raises(ValueError, match="unknown remat policy"):
         make_train_step(model, make_optimizer("Adam", 1e-3),
                         get_loss("BinaryCrossentropy"), remat="bogus")
+
+
+def test_grad_accumulation_matches_full_batch():
+    """For a BatchNorm-free model, accum_steps=4 must produce EXACTLY the
+    full-batch update (mean-loss gradients average across microbatches)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        create_train_state, get_loss, make_optimizer)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        make_train_step)
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            h = nn.relu(nn.Conv(8, (3, 3))(x))
+            return {"out": nn.sigmoid(nn.Conv(1, (1, 1))(h))}
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 16, 16, 1)).astype(np.float32)
+    y = (rng.uniform(size=(8, 16, 16, 1)) > 0.5).astype(np.float32)
+    results = {}
+    for accum in (1, 4):
+        model = TinyNet()
+        opt = make_optimizer("Adam", 1e-3)
+        state = create_train_state(model, jax.random.PRNGKey(0), x[:1], opt)
+        step = jax.jit(make_train_step(model, opt,
+                                       get_loss("BinaryCrossentropy"),
+                                       accum_steps=accum))
+        new_state, loss, _ = step(state, x, y, ())
+        results[accum] = (jax.device_get(new_state.params),
+                          float(loss))
+    p1, l1 = results[1]
+    p4, l4 = results[4]
+    assert abs(l1 - l4) < 1e-6
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 p1, p4)
+
+
+def test_grad_accumulation_trains_segmodel():
+    """accum_steps=2 with BatchNorm + metrics + remat: loss decreases and
+    metric states accumulate across microbatches."""
+    x, y = synthetic_images(8, size=16, channels=1)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     output_nums=1, final_activation="sigmoid")
+    tr = Trainer(model, loss="BCEDiceLoss", optimizer="Adam",
+                 learning_rate=2e-3, metrics=("BinaryAccuracy",),
+                 remat="dots", accum_steps=2)
+    tr.init_state(x[:4])
+    hist = tr.fit(batches(x, y, 4), epochs=5, verbose=0)
+    assert hist["loss"][-1] < hist["loss"][0]
+    assert 0.0 <= hist["BinaryAccuracy"][-1] <= 1.0
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        create_train_state, get_loss, make_optimizer)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        make_train_step)
+    x, y = synthetic_images(6, size=16, channels=1)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2)
+    opt = make_optimizer("Adam", 1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp_asarray(x[:1]), opt)
+    step = make_train_step(model, opt, get_loss("BinaryCrossentropy"),
+                           accum_steps=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, jnp_asarray(x), jnp_asarray(y), ())
+
+
+def jnp_asarray(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)

@@ -160,6 +160,7 @@ def train(config_path: str = "Train_Configs.ini",
             num_classes=max(cfg.class_number + 1, 2),
             seed=cfg.seed,
             remat=cfg.remat or None,
+            accum_steps=cfg.accumulation_steps,
         )
         sample = np.zeros((1, cfg.imlength if not cfg.patchify
                            else cfg.patch_width,

@@ -78,13 +78,44 @@ def make_train_step(
     metrics: tp.Sequence[Metric] = (),
     seed: int = 0,
     remat: tp.Optional[str] = None,
+    accum_steps: int = 1,
 ) -> tp.Callable:
     """Build the fused train step: forward + DS loss + backward + update +
-    metric accumulation, one compiled program.  ``remat`` ('dots'/'full')
-    rematerializes the forward under ``jax.checkpoint`` — numerically
-    identical, trades recompute FLOPs for activation memory (larger
-    batches)."""
+    metric accumulation, one compiled program.
+
+    ``remat`` ('dots'/'full') rematerializes the forward under
+    ``jax.checkpoint`` — numerically identical, trades recompute FLOPs for
+    activation memory (larger batches).
+
+    ``accum_steps`` > 1 splits the incoming batch into that many
+    microbatches, runs them through a ``lax.scan`` accumulating gradients
+    (averaged — identical to the full-batch mean-loss gradient for
+    BN-free models; with BatchNorm the running stats advance once per
+    microbatch, like N successive small steps), and applies the optimizer
+    ONCE.  This is how effective batches grow past the device/compiler
+    memory ceiling — e.g. effective 512 = 4 x 128 on v5e where 136+
+    fails to compile.  Composes with ``remat``."""
     policy = _remat_policy(remat)
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def loss_for(params, batch_stats, xi, targets_i, rngs):
+        variables = {"params": params}
+        mutable: tp.List[str] = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        if mutable:
+            outputs, updated = model.apply(variables, xi, train=True,
+                                           mutable=mutable, rngs=rngs)
+            new_bs = updated["batch_stats"]
+        else:
+            outputs = model.apply(variables, xi, train=True, rngs=rngs)
+            new_bs = batch_stats
+        outputs32 = jax.tree.map(lambda t: t.astype(jnp.float32), outputs)
+        loss = deep_supervision_loss(loss_fn, outputs32, targets_i,
+                                     loss_weights)
+        return loss, (outputs32, new_bs)
 
     def train_step(state: TrainState, x: jax.Array, y,
                    metric_states: tp.Tuple = ()):
@@ -93,39 +124,65 @@ def make_train_step(
         # dropout/DropBlock rngs: deterministic per step, derived from the
         # trainer seed so different seeds/folds draw different noise
         # (SAUNet's DropBlock and AlbuNet's MLP dropout use this stream)
-        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(seed),
-                                              state.step)}
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
 
-        def loss_inner(params):
-            variables = {"params": params}
-            mutable: tp.List[str] = []
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            if mutable:
-                outputs, updated = model.apply(variables, x, train=True,
-                                               mutable=mutable, rngs=rngs)
-                new_bs = updated["batch_stats"]
-            else:
-                outputs = model.apply(variables, x, train=True, rngs=rngs)
-                new_bs = state.batch_stats
-            outputs32 = jax.tree.map(lambda t: t.astype(jnp.float32), outputs)
-            loss = deep_supervision_loss(loss_fn, outputs32, targets,
-                                         loss_weights)
-            return loss, (outputs32, new_bs)
+        if accum_steps == 1:
+            def loss_inner(params):
+                return loss_for(params, state.batch_stats, x, targets,
+                                {"dropout": base_rng})
 
-        inner = (jax.checkpoint(loss_inner, policy=policy)
-                 if policy is not None else loss_inner)
-        grad_fn = jax.value_and_grad(inner, has_aux=True)
-        (loss, (outputs, new_bs)), grads = grad_fn(state.params)
+            inner = (jax.checkpoint(loss_inner, policy=policy)
+                     if policy is not None else loss_inner)
+            (loss, (outputs, new_bs)), grads = jax.value_and_grad(
+                inner, has_aux=True)(state.params)
+            new_metric_states = tuple(
+                m.update(s, targets["out"], outputs["out"])
+                for m, s in zip(metrics, metric_states))
+        else:
+            if x.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by "
+                    f"accum_steps={accum_steps}")
+            mb = x.shape[0] // accum_steps
+
+            def split(t):
+                return t.reshape((accum_steps, mb) + t.shape[1:])
+
+            xs = split(x)
+            ts = jax.tree.map(split, targets)
+
+            def loss_mb(params, bs, xi, ti, rng):
+                return loss_for(params, bs, xi, ti, {"dropout": rng})
+
+            grad_mb = jax.value_and_grad(
+                jax.checkpoint(loss_mb, policy=policy)
+                if policy is not None else loss_mb, has_aux=True)
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+            def body(carry, inp):
+                bs, acc, msts, loss_sum = carry
+                i, xi, ti = inp
+                rng = jax.random.fold_in(base_rng, i)
+                (loss_i, (outs, new_bs)), g = grad_mb(state.params, bs,
+                                                      xi, ti, rng)
+                acc = jax.tree.map(jnp.add, acc, g)
+                msts = tuple(m.update(s, ti["out"], outs["out"])
+                             for m, s in zip(metrics, msts))
+                return (new_bs, acc, msts, loss_sum + loss_i), None
+
+            carry0 = (state.batch_stats, zero_grads, tuple(metric_states),
+                      jnp.zeros((), jnp.float32))
+            (new_bs, acc, new_metric_states, loss_sum), _ = jax.lax.scan(
+                body, carry0, (jnp.arange(accum_steps), xs, ts))
+            grads = jax.tree.map(lambda g: g / accum_steps, acc)
+            loss = loss_sum / accum_steps
+
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        new_metric_states = tuple(
-            m.update(s, targets["out"], outputs["out"])
-            for m, s in zip(metrics, metric_states))
         return new_state, loss, new_metric_states
 
     return train_step

@@ -46,6 +46,7 @@ class Trainer:
         seed: int = 42,
         frozen_tokens: tp.Sequence[str] = (),
         remat: tp.Optional[str] = None,
+        accum_steps: int = 1,
     ):
         self.model = model
         self.mesh = mesh if mesh is not None else local_mesh()
@@ -59,6 +60,7 @@ class Trainer:
         self.metric_defs: tp.List[Metric] = [
             make_metric(m, num_classes=num_classes) for m in metrics]
         self.remat = remat
+        self.accum_steps = accum_steps
         self.seed = seed
         self.state: tp.Optional[TrainState] = None
         self._train_step = None
@@ -79,7 +81,8 @@ class Trainer:
             rep = replicated(self.mesh)
             step = make_train_step(self.model, self.optimizer, self.loss_fn,
                                    self.loss_weights, self.metric_defs,
-                                   seed=self.seed, remat=self.remat)
+                                   seed=self.seed, remat=self.remat,
+                                   accum_steps=self.accum_steps)
             self._train_step = jax.jit(step, donate_argnums=(0,))
             self._eval_step = jax.jit(
                 make_eval_step(self.model, self.loss_fn, self.loss_weights,

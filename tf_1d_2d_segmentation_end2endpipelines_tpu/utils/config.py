@@ -73,6 +73,10 @@ class TrainConfig:
     # jax.checkpoint — exact same numbers, less activation memory, larger
     # feasible batches (new capability; see train.state.REMAT_POLICIES)
     remat: str = ""
+    # gradient accumulation: microbatches per optimizer update (effective
+    # batch = batch_size x accumulation_steps; extends effective batch
+    # past the device/compiler memory ceiling, composes with remat)
+    accumulation_steps: int = 1
     # patching / deep supervision
     patchify: bool = False
     patch_width: int = 64
