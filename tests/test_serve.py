@@ -65,7 +65,8 @@ def test_http_server_predict(tmp_path):
                       decoder_name="UNet", model_width=4, model_depth=2,
                       output_nums=1, class_number=1,
                       save_dir=str(tmp_path))
-    server = make_server(cfg, str(tmp_path / "Fold_1"), port=0)
+    # max_batch=2 routes requests through the DynamicBatcher path
+    server = make_server(cfg, str(tmp_path / "Fold_1"), port=0, max_batch=2)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     try:
@@ -94,3 +95,62 @@ def test_http_server_predict(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_dynamic_batcher_coalesces_concurrent_requests():
+    """N concurrent single-image requests ride ONE device batch (not N
+    padded singles), and every caller gets its own correct result."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        DynamicBatcher)
+
+    model, trainer = _tiny_trainer()
+    predictor = Predictor(model, trainer.state, (32, 32, 3), max_batch=4)
+    calls = []
+
+    class Counting:
+        max_batch = predictor.max_batch
+
+        def __call__(self, batch):
+            calls.append(batch.shape[0])
+            return predictor(batch)
+
+    batcher = DynamicBatcher(Counting(), window_ms=100.0)
+    try:
+        x = np.random.default_rng(3).normal(size=(4, 32, 32, 3)).astype(
+            np.float32)
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = batcher.predict(x[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        want = np.asarray(trainer.predict(x)["out"])
+        for i in range(4):
+            np.testing.assert_allclose(results[i], want[i], atol=1e-5)
+        assert sum(calls) == 4 and len(calls) < 4, (
+            f"expected coalesced batches, got per-call sizes {calls}")
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_propagates_errors():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        DynamicBatcher)
+
+    class Boom:
+        max_batch = 2
+
+        def __call__(self, batch):
+            raise RuntimeError("kaboom")
+
+    batcher = DynamicBatcher(Boom(), window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="kaboom"):
+            batcher.predict(np.zeros((32, 32, 3), np.float32), timeout=10)
+    finally:
+        batcher.close()

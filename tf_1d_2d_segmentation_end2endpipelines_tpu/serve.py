@@ -27,7 +27,8 @@ import typing as tp
 
 import numpy as np
 
-__all__ = ["export_model", "load_exported", "Predictor", "serve"]
+__all__ = ["export_model", "load_exported", "Predictor", "DynamicBatcher",
+           "serve"]
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +149,78 @@ class Predictor:
             (0, *self.output_shape), np.float32)
 
 
+class DynamicBatcher:
+    """Cross-request dynamic batching: concurrent requests are coalesced
+    into one device batch (up to ``Predictor.max_batch``), waiting at most
+    ``window_ms`` for co-travellers.  This is the piece that makes a
+    static-batch TPU predictor efficient under concurrent load — one MXU
+    launch serves many requests instead of max_batch-padded singles."""
+
+    def __init__(self, predictor: Predictor, window_ms: float = 5.0):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.window_s = window_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def _loop(self):
+        import queue
+        import time as _time
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            pending = [first]
+            deadline = _time.monotonic() + self.window_s
+            while len(pending) < self.predictor.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if item is None:
+                    return
+                pending.append(item)
+            batch = np.stack([x for x, _, _ in pending])
+            try:
+                preds = self.predictor(batch)
+                for i, (_, ev, box) in enumerate(pending):
+                    box["result"] = preds[i]
+                    ev.set()
+            except Exception as e:  # noqa: BLE001 — fail the waiters, not
+                for _, ev, box in pending:  # the worker
+                    box["error"] = e
+                    ev.set()
+
+    def predict(self, x: np.ndarray, timeout: float = 30.0) -> np.ndarray:
+        """Submit ONE example (H, W, C); blocks until its batch runs."""
+        import threading
+
+        ev = threading.Event()
+        box: tp.Dict[str, tp.Any] = {}
+        self._q.put((np.asarray(x, np.float32), ev, box))
+        if not ev.wait(timeout):
+            raise TimeoutError("dynamic batcher timed out")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
+
+    def close(self):
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout=5)
+
+
 # ---------------------------------------------------------------------------
 # HTTP server
 # ---------------------------------------------------------------------------
@@ -212,6 +285,8 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
     predictor = Predictor(model, trainer.state,
                           (*size, train_cfg.num_channels),
                           max_batch=max_batch, dtype=dtype)
+    # max_batch > 1: coalesce concurrent requests into one device batch
+    batcher = DynamicBatcher(predictor) if max_batch > 1 else None
     n_fg = max(train_cfg.class_number, 1)
     info = {
         "model": f"{train_cfg.encoder_name}_{train_cfg.decoder_name}",
@@ -254,7 +329,8 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
                 self._send(400, f"error: {e}".encode(), "text/plain")
                 return
             try:  # server-side faults (predict/encode) -> 500
-                pred = predictor(x[None])[0]
+                pred = (batcher.predict(x) if batcher is not None
+                        else predictor(x[None])[0])
                 if train_cfg.class_number <= 1:
                     label = (pred[..., 0] > threshold).astype(np.int32)
                 else:
@@ -264,7 +340,9 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
             except Exception as e:  # noqa: BLE001
                 self._send(500, f"error: {e}".encode(), "text/plain")
 
-    return http.server.ThreadingHTTPServer((host, port), Handler)
+    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher  # close() on teardown if you own the server
+    return server
 
 
 def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
