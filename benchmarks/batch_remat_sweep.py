@@ -24,8 +24,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
+#: 1D model names take (B, 1024, 1) signals and the reference's MAE loss
+MODELS_1D = ("unet1d", "bcdunet", "sedunet")
+
+
 def _build_model(name: str, dtype):
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    if name in MODELS_1D:
+        from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+            BCDUNet, SEDUNet, UNet1D)
+        if name == "bcdunet":
+            return BCDUNet(model_width=32, model_depth=3, lstm=1,
+                           dense_loop=2, dtype=dtype)
+        if name == "sedunet":
+            return SEDUNet(model_width=32, model_depth=3, se_ratio=8,
+                           dtype=dtype)
+        m = getattr(UNet1D(1024, 3, 1, 32, 3, ds=0), "UNet")()
+        return m.replace(dtype=dtype) if hasattr(m, "replace") else m
+    if name in ("unete", "unetp"):
+        return SegModel(decoder_name={"unete": "UNetE",
+                                      "unetp": "UNetP"}[name],
+                        model_width=32, model_depth=4, output_nums=1,
+                        final_activation="sigmoid", dtype=dtype)
+    if name == "effb0":
+        return SegModel(decoder_name="UNet", backbone="EfficientNetB0",
+                        train_mode="pretrained_encoder", model_width=32,
+                        model_depth=4, output_nums=1,
+                        final_activation="sigmoid", dtype=dtype)
     if name == "unet":
         return SegModel(decoder_name="UNet", model_width=32, model_depth=4,
                         output_nums=1, final_activation="sigmoid",
@@ -65,8 +90,15 @@ def run(batch: int, mode: str, model_name: str = "unetpp",
     model = _build_model(model_name, jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(batch, size, size, 3)).astype(np.float32)
-    y = (rng.uniform(size=(batch, size, size, 1)) > 0.5).astype(np.float32)
+    if model_name in MODELS_1D:
+        x = rng.normal(size=(batch, 1024, 1)).astype(np.float32)
+        y = rng.normal(size=(batch, 1024, 1)).astype(np.float32)
+        loss_name = "MeanAbsoluteError"
+    else:
+        x = rng.normal(size=(batch, size, size, 3)).astype(np.float32)
+        y = (rng.uniform(size=(batch, size, size, 1)) > 0.5
+             ).astype(np.float32)
+        loss_name = "BCEDiceLoss"
 
     mesh = make_mesh()
     optimizer = (optax.adam(1e-3, mu_dtype=jnp.bfloat16) if mode == "bf16mu"
@@ -77,7 +109,7 @@ def run(batch: int, mode: str, model_name: str = "unetpp",
     # the framework's own step (so sweep numbers stay representative of
     # the shipped train path); remat modes map straight onto its arg
     train_step = make_train_step(
-        model, optimizer, get_loss("BCEDiceLoss"),
+        model, optimizer, get_loss(loss_name),
         remat=mode if mode in ("dots", "full") else None,
         accum_steps=accum)
     step = jax.jit(train_step, donate_argnums=(0,))

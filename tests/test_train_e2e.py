@@ -244,3 +244,21 @@ def test_grad_accumulation_rejects_indivisible_batch():
 def jnp_asarray(a):
     import jax.numpy as jnp
     return jnp.asarray(a)
+
+
+def test_lr_scheduler_cosine_drives_logged_lr():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        LearningRateScheduler, cosine_decay)
+    x, y = synthetic_signals(8, length=128)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2,
+                     output_nums=1, final_activation="sigmoid")
+    sched = cosine_decay(1e-3, total_epochs=4, min_lr=1e-5,
+                         warmup_epochs=2)
+    tr = Trainer(model, loss="BinaryCrossentropy", learning_rate=999.0)
+    tr.init_state(x[:4])
+    hist = tr.fit(batches(x, y, 4), epochs=4, verbose=0,
+                  callbacks=[LearningRateScheduler(sched)])
+    want = [sched(e) for e in range(4)]
+    np.testing.assert_allclose(hist["lr"], want, rtol=1e-5)
+    assert hist["lr"][0] < hist["lr"][1]          # warmup ramps up
+    assert hist["lr"][3] < hist["lr"][2]          # cosine decays

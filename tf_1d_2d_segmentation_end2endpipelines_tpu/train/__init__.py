@@ -3,8 +3,11 @@
 from .callbacks import (  # noqa: F401
     BestTracker,
     EarlyStopping,
+    LearningRateScheduler,
     NaNGuard,
     ReduceLROnPlateau,
+    cosine_decay,
+    exponential_decay,
 )
 from .checkpoint import CheckpointManager  # noqa: F401
 from .losses import (  # noqa: F401

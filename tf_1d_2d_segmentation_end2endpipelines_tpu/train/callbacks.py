@@ -129,3 +129,47 @@ class NaNGuard:
             self.aborted = True
             return False
         return True
+
+
+class LearningRateScheduler:
+    """Per-epoch LR schedule (namesake of Keras's LearningRateScheduler;
+    the reference only ships ReduceLROnPlateau, Train.py:381-387 — this is
+    the production-training extension).  ``schedule(epoch) -> lr`` is any
+    python function; the new LR is injected into the compiled step's
+    hyperparams at epoch start, so no retracing happens.  Composes with
+    ReduceLROnPlateau only in the sense that whichever ran last wins —
+    prefer one or the other."""
+
+    def __init__(self, schedule: tp.Callable[[int], float]):
+        self.schedule = schedule
+
+    def on_epoch_begin(self, epoch: int) -> float:
+        return float(self.schedule(epoch))
+
+
+def cosine_decay(base_lr: float, total_epochs: int,
+                 min_lr: float = 0.0, warmup_epochs: int = 0
+                 ) -> tp.Callable[[int], float]:
+    """Cosine decay from ``base_lr`` to ``min_lr`` over ``total_epochs``,
+    with optional linear warmup from 0."""
+
+    def schedule(epoch: int) -> float:
+        if warmup_epochs and epoch < warmup_epochs:
+            return base_lr * (epoch + 1) / warmup_epochs
+        t = min(max(epoch - warmup_epochs, 0),
+                max(total_epochs - warmup_epochs, 1))
+        frac = t / max(total_epochs - warmup_epochs, 1)
+        return min_lr + (base_lr - min_lr) * 0.5 * (
+            1.0 + math.cos(math.pi * frac))
+
+    return schedule
+
+
+def exponential_decay(base_lr: float, decay_rate: float,
+                      decay_epochs: int = 1) -> tp.Callable[[int], float]:
+    """lr = base_lr * decay_rate ** (epoch / decay_epochs)."""
+
+    def schedule(epoch: int) -> float:
+        return base_lr * decay_rate ** (epoch / max(decay_epochs, 1))
+
+    return schedule

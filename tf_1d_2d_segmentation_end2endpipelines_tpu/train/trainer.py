@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import local_mesh, replicated, shard_batch
-from .callbacks import (BestTracker, EarlyStopping, NaNGuard,
-                        ReduceLROnPlateau)
+from .callbacks import (BestTracker, EarlyStopping, LearningRateScheduler,
+                        NaNGuard, ReduceLROnPlateau)
 from .checkpoint import CheckpointManager
 from .losses import get_loss
 from .metrics import Metric, make_metric
@@ -127,10 +127,15 @@ class Trainer:
         rlrop = next((c for c in callbacks
                       if isinstance(c, ReduceLROnPlateau)), None)
         guard = next((c for c in callbacks if isinstance(c, NaNGuard)), None)
+        sched = next((c for c in callbacks
+                      if isinstance(c, LearningRateScheduler)), None)
         best = BestTracker(monitor) if checkpoint is not None else None
 
         for epoch in range(epochs):
             t0 = time.time()
+            if sched is not None:
+                self.state = self.state.replace_lr(
+                    sched.on_epoch_begin(epoch))
             # profiling hook (new aux subsystem; the reference has none,
             # SURVEY.md §5): capture one epoch's device trace
             profiling = profile_dir is not None and epoch == profile_epoch
