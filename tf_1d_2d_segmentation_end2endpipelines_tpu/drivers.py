@@ -258,18 +258,39 @@ def test(config_path: str = "Test_Configs.ini",
         os.makedirs(os.path.join(results_dir, "masks"), exist_ok=True)
         cm = init_confusion_matrix(n_classes)
         y_true_all, y_pred_all = [], []
-        for idx in range(len(ds)):
-            img, msk = ds.load_pair(idx)
+
+        def _prediction_stream():
+            """Yield (idx, pred, msk).  Whole-image mode batches
+            ``batch_size`` images into ONE padded jitted predict call
+            (the reference predicts one image per call, Test.py:161 —
+            single-image batches waste the MXU); patchify mode already
+            batches all patches of an image."""
             if cfg.patchify:
-                patches, _ = create_patches(
-                    img, (cfg.patch_width, cfg.patch_height),
-                    cfg.overlap_ratio)
-                pred = trainer.predict(patches)["out"]
-                pred = unpatchify(np.asarray(pred),
-                                  (cfg.imheight, cfg.imwidth),
-                                  cfg.overlap_ratio)
-            else:
-                pred = np.asarray(trainer.predict(img[None])["out"][0])
+                for idx in range(len(ds)):
+                    img, msk = ds.load_pair(idx)
+                    patches, _ = create_patches(
+                        img, (cfg.patch_width, cfg.patch_height),
+                        cfg.overlap_ratio)
+                    pred = unpatchify(
+                        np.asarray(trainer.predict(patches)["out"]),
+                        (cfg.imheight, cfg.imwidth), cfg.overlap_ratio)
+                    yield idx, pred, msk
+                return
+            bs = max(cfg.batch_size, 1)
+            for start in range(0, len(ds), bs):
+                idxs = range(start, min(start + bs, len(ds)))
+                pairs = [ds.load_pair(i) for i in idxs]
+                batch = np.stack([p[0] for p in pairs])
+                pad = bs - batch.shape[0]
+                if pad:  # pad to the compiled batch shape (one compile)
+                    batch = np.concatenate(
+                        [batch, np.zeros((pad, *batch.shape[1:]),
+                                         batch.dtype)])
+                preds = np.asarray(trainer.predict(batch)["out"])
+                for k, i in enumerate(idxs):
+                    yield i, preds[k], pairs[k][1]
+
+        for idx, pred, msk in _prediction_stream():
             if cfg.class_number <= 1:
                 pred_lbl = (pred[..., 0] > cfg.threshold).astype(np.int32)
                 true_lbl = (msk[..., 0] > cfg.threshold).astype(np.int32)
