@@ -1,0 +1,91 @@
+"""Capture a device trace of the flagship train step and print a per-op
+category breakdown (the profile-first rule's tooling; round-2 profiles
+drove every accepted/rejected optimization).
+
+Usage: python benchmarks/profile_step.py [batch] [remat]
+Writes the trace under /tmp/tpuseg_profile and prints ms/step by fused-op
+category.
+"""
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        make_mesh, replicated, shard_batch)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        create_train_state, get_loss, make_optimizer)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        make_train_step)
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    remat = sys.argv[2] if len(sys.argv) > 2 else "dots"
+    size = 256
+    steps = 3
+    model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
+                     output_nums=1, final_activation="sigmoid",
+                     dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(batch, size, size, 3)).astype(np.float32)
+    y = (rng.uniform(size=(batch, size, size, 1)) > 0.5).astype(np.float32)
+    mesh = make_mesh()
+    opt = make_optimizer("Adam", 1e-3)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(x[:1]), opt)
+    state = jax.device_put(state, replicated(mesh))
+    step = jax.jit(make_train_step(model, opt, get_loss("BCEDiceLoss"),
+                                   remat=remat or None),
+                   donate_argnums=(0,))
+    b = shard_batch(mesh, {"x": x, "y": y})
+    for _ in range(3):
+        state, loss, _ = step(state, b["x"], b["y"], ())
+    float(loss)
+
+    outdir = "/tmp/tpuseg_profile"
+    jax.profiler.start_trace(outdir)
+    for _ in range(steps):
+        state, loss, _ = step(state, b["x"], b["y"], ())
+    float(loss)
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz",
+                              recursive=True))
+    with gzip.open(traces[-1]) as f:
+        t = json.load(f)
+    ev = t["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    cat = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            n = e["name"]
+            if n.startswith("jit_") or n.isdigit():
+                continue
+            cat[re.sub(r"\.\d+(\.remat\d*)?$", "", n)] += e.get("dur", 0)
+    tot = sum(cat.values())
+    print(f"batch={batch} remat={remat or 'none'}: "
+          f"{tot / steps / 1e3:.1f} ms/step device-op time "
+          f"({batch * steps * 1e6 / tot:.1f} img/s)")
+    for name, d in cat.most_common(15):
+        print(f"  {d / steps / 1e3:8.2f} ms/step  {name}")
+    print(f"trace: {traces[-1]}")
+
+
+if __name__ == "__main__":
+    main()
