@@ -1,6 +1,11 @@
 """Two-stage training with a pretrained encoder (the reference's fine-tune
 flow, 2D notebook cells 53-55): stage 1 trains with the backbone frozen,
 stage 2 reloads the checkpoint, unfreezes, and drops the LR."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 
 from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (

@@ -1,6 +1,11 @@
 """1D signal segmentation end-to-end (the reference 1D notebook flow,
 1D_Segmentation.ipynb cells 29-64): .pt dataset -> LDNet/UNet -> MAE loss
 with deep-supervision weights -> fit -> NILM evaluation."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (

@@ -262,3 +262,23 @@ def test_lr_scheduler_cosine_drives_logged_lr():
     np.testing.assert_allclose(hist["lr"], want, rtol=1e-5)
     assert hist["lr"][0] < hist["lr"][1]          # warmup ramps up
     assert hist["lr"][3] < hist["lr"][2]          # cosine decays
+
+
+def test_prepare_train_dict_1d_rank_inference():
+    """(B, L, 1) signals must pool over L only — the 2D interpretation
+    would pool the size-1 axis to 0 (regression: examples/train_1d_signals
+    crashed with a (B, L/2, 0, 1) target)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (
+        prepare_train_dict)
+    import jax.numpy as jnp
+    y1d = jnp.ones((2, 64, 1))
+    t = prepare_train_dict(y1d, 2, ds_type="UNet")
+    assert t["level1"].shape == (2, 32, 1)
+    assert t["level2"].shape == (2, 16, 1)
+    y2d = jnp.ones((2, 32, 32))          # channel-less 2D: reference usage
+    t = prepare_train_dict(y2d, 1, ds_type="UNet")
+    assert t["level1"].shape == (2, 16, 16, 1)
+    # explicit override beats inference
+    t = prepare_train_dict(jnp.ones((2, 64, 3)), 1, ds_type="UNet",
+                           spatial_rank=1)
+    assert t["level1"].shape == (2, 32, 3)

@@ -24,17 +24,30 @@ from ..ops import downsample_pool
 
 
 def prepare_train_dict(mask: jax.Array, model_depth: int,
-                       ds_type: str = "UNet") -> tp.Dict[str, jax.Array]:
+                       ds_type: str = "UNet",
+                       spatial_rank: tp.Optional[int] = None
+                       ) -> tp.Dict[str, jax.Array]:
     """Build {'out', 'level1'..'levelD'} targets from a full-res mask.
 
-    ``mask``: (B, *spatial) or (B, *spatial, C); a channel axis is added if
-    missing (helper_functions.py:365-366).
+    ``mask``: (B, *spatial) or (B, *spatial, C); a channel axis is added
+    if missing (helper_functions.py:365-366).
+
+    ``spatial_rank`` (1 or 2) disambiguates rank-3 masks: (B, H, W)
+    without channels vs a 1D (B, L, C).  When omitted it is inferred —
+    a trailing axis of size 1 must be a channel axis (pooling a size-1
+    spatial axis by 2 would yield size 0), larger trailing axes are
+    taken as 2D-width per the reference's 2D usage.
     """
-    if mask.ndim == 3 and ds_type is not None:
-        # (B, H, W) -> (B, H, W, 1); for 1D (B, L) handled below
-        mask = mask[..., None]
-    elif mask.ndim == 2:
-        mask = mask[..., None]
+    if mask.ndim == 2:
+        mask = mask[..., None]                       # (B, L) -> (B, L, 1)
+    elif mask.ndim == 3:
+        if spatial_rank is None:
+            spatial_rank = 1 if mask.shape[-1] == 1 else 2
+        if spatial_rank == 2:
+            mask = mask[..., None]               # (B, H, W) -> + channel
+    elif mask.ndim != 4:
+        raise ValueError(f"mask rank {mask.ndim} unsupported "
+                         f"(expected (B, *spatial[, C]))")
     targets = {"out": mask}
     for i in range(1, model_depth + 1):
         if ds_type == "UNet":

@@ -78,7 +78,8 @@ def _fold_dir(cfg, fold: int) -> str:
 def _wrap_targets(y: np.ndarray, cfg: TrainConfig):
     if cfg.d_s == 1:
         return {k: np.asarray(v) for k, v in prepare_train_dict(
-            jnp.asarray(y), cfg.model_depth, cfg.ds_type).items()}
+            jnp.asarray(y), cfg.model_depth, cfg.ds_type,
+            spatial_rank=2).items()}  # the INI driver is the 2D pipeline
     return y
 
 
