@@ -8,9 +8,10 @@ throughput keeps scaling with batch past the plateau.
 
 Usage: python benchmarks/batch_remat_sweep.py [variant ...]
   variant = "<batch>:<mode>[:<model>[:<accum>]]" with mode in {plain,
-  dots, full, bf16mu}, model in {unetpp (default), unet, multires,
-  agunet, unet3p}; accum = gradient-accumulation microbatch count
-  (batch is the TOTAL effective batch, split into accum microbatches)
+  dots, full, bf16mu}, model in {unetpp (default), unet, unete, unetp,
+  multires, agunet, unet3p, effb0, unet1d, bcdunet, sedunet}; accum =
+  gradient-accumulation microbatch count (batch is the TOTAL effective
+  batch, split into accum microbatches)
 Prints one JSON line per variant (failures recorded, not fatal).
 """
 import json
@@ -67,6 +68,8 @@ def _build_model(name: str, dtype):
         return SegModel(decoder_name="UNet3P", model_width=32,
                         model_depth=4, output_nums=1,
                         final_activation="sigmoid", dtype=dtype)
+    if name != "unetpp":
+        raise ValueError(f"unknown model {name!r} (see module docstring)")
     return SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
                     output_nums=1, final_activation="sigmoid", dtype=dtype)
 

@@ -66,6 +66,8 @@ def main():
 
     traces = sorted(glob.glob(outdir + "/**/*.trace.json.gz",
                               recursive=True))
+    if not traces:
+        raise SystemExit(f"no trace file produced under {outdir}")
     with gzip.open(traces[-1]) as f:
         t = json.load(f)
     ev = t["traceEvents"]
@@ -79,6 +81,9 @@ def main():
                 continue
             cat[re.sub(r"\.\d+(\.remat\d*)?$", "", n)] += e.get("dur", 0)
     tot = sum(cat.values())
+    if not tot:
+        raise SystemExit("no TPU device events in the trace (CPU-only "
+                         "host?) — run this on the TPU tunnel")
     print(f"batch={batch} remat={remat or 'none'}: "
           f"{tot / steps / 1e3:.1f} ms/step device-op time "
           f"({batch * steps * 1e6 / tot:.1f} img/s)")

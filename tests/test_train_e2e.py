@@ -1,6 +1,7 @@
 """End-to-end training tests: loss decreases on synthetic data (BASELINE
 config 1), sharded over the 8-virtual-device CPU mesh."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -234,16 +235,12 @@ def test_grad_accumulation_rejects_indivisible_batch():
     model = SegModel(decoder_name="UNet", model_width=4, model_depth=2)
     opt = make_optimizer("Adam", 1e-3)
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp_asarray(x[:1]), opt)
+                               jnp.asarray(x[:1]), opt)
     step = make_train_step(model, opt, get_loss("BinaryCrossentropy"),
                            accum_steps=4)
     with pytest.raises(ValueError, match="not divisible"):
-        step(state, jnp_asarray(x), jnp_asarray(y), ())
+        step(state, jnp.asarray(x), jnp.asarray(y), ())
 
-
-def jnp_asarray(a):
-    import jax.numpy as jnp
-    return jnp.asarray(a)
 
 
 def test_lr_scheduler_cosine_drives_logged_lr():

@@ -115,7 +115,10 @@ def train(config_path: str = "Train_Configs.ini",
             train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
             patchify=cfg.patchify,
             patch_shape=(cfg.patch_width, cfg.patch_height),
-            overlap_ratio=cfg.overlap_ratio)
+            overlap_ratio=cfg.overlap_ratio,
+            # accumulation splits each batch into accum microbatches; a
+            # partial trailing batch would not divide, so drop it
+            drop_remainder=cfg.accumulation_steps > 1)
         val_loader = None
         if split_val_ds is not None and len(split_val_ds):
             raw_val = PrefetchLoader(split_val_ds, cfg.batch_size,
@@ -149,6 +152,11 @@ def train(config_path: str = "Train_Configs.ini",
             for x, y in loader():
                 yield x, _wrap_targets(y, cfg)
 
+        if cfg.accumulation_steps > 1 and \
+                cfg.batch_size % cfg.accumulation_steps:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by "
+                f"accumulation_steps={cfg.accumulation_steps}")
         loss_weights = (default_ds_weights(cfg.model_depth)
                         if cfg.d_s == 1 else None)
         trainer = Trainer(

@@ -171,7 +171,8 @@ class DynamicBatcher:
         import queue
         import time as _time
 
-        while not self._stop.is_set():
+        closing = False
+        while not (self._stop.is_set() or closing):
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
@@ -189,11 +190,13 @@ class DynamicBatcher:
                 except queue.Empty:
                     break
                 if item is None:
-                    return
+                    # close() mid-collection: run what we have, then exit
+                    closing = True
+                    break
                 pending.append(item)
-            batch = np.stack([x for x, _, _ in pending])
-            try:
-                preds = self.predictor(batch)
+            try:  # np.stack inside: a shape-mismatched request must fail
+                # its waiters, never kill the worker thread
+                preds = self.predictor(np.stack([x for x, _, _ in pending]))
                 for i, (_, ev, box) in enumerate(pending):
                     box["result"] = preds[i]
                     ev.set()
@@ -208,7 +211,13 @@ class DynamicBatcher:
 
         ev = threading.Event()
         box: tp.Dict[str, tp.Any] = {}
-        self._q.put((np.asarray(x, np.float32), ev, box))
+        x = np.asarray(x, np.float32)
+        expect = getattr(self.predictor, "input_size", None)
+        if expect is not None and tuple(x.shape) != tuple(expect):
+            # reject up front so one bad request can't fail co-batched ones
+            raise ValueError(f"expected input of shape {tuple(expect)}, "
+                             f"got {tuple(x.shape)}")
+        self._q.put((x, ev, box))
         if not ev.wait(timeout):
             raise TimeoutError("dynamic batcher timed out")
         if "error" in box:

@@ -136,9 +136,11 @@ class LearningRateScheduler:
     the reference only ships ReduceLROnPlateau, Train.py:381-387 — this is
     the production-training extension).  ``schedule(epoch) -> lr`` is any
     python function; the new LR is injected into the compiled step's
-    hyperparams at epoch start, so no retracing happens.  Composes with
-    ReduceLROnPlateau only in the sense that whichever ran last wins —
-    prefer one or the other."""
+    hyperparams at epoch start, so no retracing happens.  NaNGuard's LR
+    backoff persists under a scheduler (the Trainer folds the guard's
+    factor into every subsequent scheduled LR); ReduceLROnPlateau does
+    NOT compose — its end-of-epoch value is overwritten at the next
+    epoch start, so prefer one or the other."""
 
     def __init__(self, schedule: tp.Callable[[int], float]):
         self.schedule = schedule

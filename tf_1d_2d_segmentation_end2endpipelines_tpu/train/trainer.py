@@ -131,11 +131,15 @@ class Trainer:
                       if isinstance(c, LearningRateScheduler)), None)
         best = BestTracker(monitor) if checkpoint is not None else None
 
+        # NaNGuard backoffs persist under a scheduler: the guard's factor
+        # accumulates into lr_scale, which scales every scheduled LR (a
+        # plain override would reinstate the diverging LR next epoch)
+        lr_scale = 1.0
         for epoch in range(epochs):
             t0 = time.time()
             if sched is not None:
                 self.state = self.state.replace_lr(
-                    sched.on_epoch_begin(epoch))
+                    sched.on_epoch_begin(epoch) * lr_scale)
             # profiling hook (new aux subsystem; the reference has none,
             # SURVEY.md §5): capture one epoch's device trace
             profiling = profile_dir is not None and epoch == profile_epoch
@@ -199,6 +203,7 @@ class Trainer:
                         self.model, rng, self._sample_input, self.optimizer)
                     recovery = "re-initialized params"
                 self._ensure_state_placement()
+                lr_scale *= guard.lr_factor
                 new_lr = logs["lr"] * guard.lr_factor
                 self.state = self.state.replace_lr(new_lr)
                 if verbose:
