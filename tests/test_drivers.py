@@ -176,3 +176,25 @@ def test_summary_subcommand(tmp_path, capsys):
     assert set(info["outputs"]) == {"out", "level1", "level2"}
     out = capsys.readouterr().out
     assert "Trainable params" in out
+
+
+def test_compute_dtype_ini_key(tmp_path):
+    """compute_dtype = bfloat16 builds a bf16-activation model from the
+    INI (params stay float32 — the TPU mixed-precision contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (
+        _build_model)
+    cfg = TrainConfig(imlength=16, imwidth=16, decoder_name="UNet",
+                      model_width=4, model_depth=2,
+                      compute_dtype="bfloat16")
+    model = _build_model(cfg)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 16, 16, 3)), train=False)
+    out = model.apply(v, jnp.zeros((1, 16, 16, 3)), train=False)["out"]
+    assert out.dtype == jnp.bfloat16
+    leaves = jax.tree.leaves(v["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    with pytest.raises(ValueError, match="unknown compute_dtype"):
+        _build_model(TrainConfig(compute_dtype="float16"))

@@ -47,7 +47,22 @@ from .utils.config import (TestConfig, TrainConfig, load_test_config,
                            load_train_config, save_train_config)
 
 
+def _resolve_dtype(cfg: TrainConfig, dtype):
+    """INI ``compute_dtype`` wins unless the caller passed an explicit
+    non-default dtype (programmatic callers keep full control)."""
+    if dtype is not jnp.float32:
+        return dtype
+    name = getattr(cfg, "compute_dtype", "float32").strip().lower()
+    if name in ("", "float32", "f32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r} "
+                     "(expected float32 or bfloat16)")
+
+
 def _build_model(cfg: TrainConfig, dtype=jnp.float32):
+    dtype = _resolve_dtype(cfg, dtype)
     return model_selector(
         model_genre=cfg.model_genre,
         encoder_name=cfg.encoder_name,

@@ -69,6 +69,10 @@ class TrainConfig:
     save_dir: str = "Results"
     task_name: str = "None"
     seed: int = 1
+    # computation dtype for the model ('float32' | 'bfloat16'): bf16 is
+    # the TPU performance mode (activations bf16, params/BN stats f32 —
+    # see docs/SCALING.md); float32 matches the reference's numerics
+    compute_dtype: str = "float32"
     # remat ('', 'dots', 'full'): rematerialize the forward under
     # jax.checkpoint — exact same numbers, less activation memory, larger
     # feasible batches (new capability; see train.state.REMAT_POLICIES)
