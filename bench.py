@@ -25,6 +25,7 @@ import numpy as np
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +36,7 @@ def main() -> None:
     from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
         make_mesh, replicated, shard_batch)
     from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
-        create_train_state, get_loss, make_optimizer, make_train_step)
+        get_loss, make_optimizer, make_train_step)
 
     on_tpu = jax.devices()[0].platform != "cpu"
     # batch 128 + remat('dots'): throughput-optimal on v5e.  Step time
@@ -57,8 +58,19 @@ def main() -> None:
 
     mesh = make_mesh()
     optimizer = make_optimizer("Adam", 1e-3)
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               jnp.asarray(x[:1]), optimizer)
+    # zeros-init via eval_shape: real model.init costs ~80 s of remote
+    # compile on the tunnel and the values don't affect step TIMING (the
+    # program is data-independent); loss stays finite with zero params
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train.state import (
+        TrainState)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                            jax.ShapeDtypeStruct((1, size, size, 3),
+                                                 jnp.float32))
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = variables.get("params", {})
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=optimizer.init(params))
     state = jax.device_put(state, replicated(mesh))
     step = jax.jit(make_train_step(model, optimizer,
                                    get_loss("BCEDiceLoss"), remat=remat),
@@ -70,7 +82,7 @@ def main() -> None:
         state, loss, _ = step(state, b["x"], b["y"], ())
     float(loss)
 
-    iters = 50 if on_tpu else 3
+    iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss, _ = step(state, b["x"], b["y"], ())
@@ -98,19 +110,6 @@ def main() -> None:
         float(infer(xi).sum())  # fetch = fence (incl. tunnel round-trip)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat)) * 1e3
-    # device-side forward time: chain K forwards in ONE jit with a data
-    # dependence (no CSE), fetch once; t_fwd = (T - rtt)/K
-    K = 20 if on_tpu else 2
-
-    @jax.jit
-    def chained(xi):
-        def body(c, _):
-            m = fwd(c).mean().astype(c.dtype)
-            return c + m * jnp.asarray(1e-6, c.dtype), m
-        _, ms = jax.lax.scan(body, xi, None, length=K)
-        return ms.sum()
-
-    float(chained(xi))  # compile
     # tunnel round-trip on a trivial jitted op (same fence mechanics)
     tiny = jax.jit(lambda v: v + 1.0)
     float(tiny(jnp.float32(0)))
@@ -120,12 +119,30 @@ def main() -> None:
         float(tiny(jnp.float32(0)))
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt)) * 1e3
-    chain = []
-    for _ in range(10 if on_tpu else 2):
-        t0 = time.perf_counter()
-        float(chained(xi))
-        chain.append(time.perf_counter() - t0)
-    fwd_ms = max(float(np.median(chain)) * 1e3 - rtt_ms, 0.0) / K
+
+    # device-side forward time: chain K forwards in ONE jit with a data
+    # dependence (no CSE), fetch once; t_fwd = (T - rtt)/K.  Costs one
+    # extra remote compile — skipped when the uncached-compile path has
+    # already eaten the run budget (the driver bounds bench at ~580 s)
+    fwd_ms = None
+    if time.perf_counter() - t_start < 360:
+        K = 20 if on_tpu else 2
+
+        @jax.jit
+        def chained(xi):
+            def body(c, _):
+                m = fwd(c).mean().astype(c.dtype)
+                return c + m * jnp.asarray(1e-6, c.dtype), m
+            _, ms = jax.lax.scan(body, xi, None, length=K)
+            return ms.sum()
+
+        float(chained(xi))  # compile
+        chain = []
+        for _ in range(10 if on_tpu else 2):
+            t0 = time.perf_counter()
+            float(chained(xi))
+            chain.append(time.perf_counter() - t0)
+        fwd_ms = max(float(np.median(chain)) * 1e3 - rtt_ms, 0.0) / K
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -146,9 +163,10 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 3),
         "p50_infer_ms": round(p50_ms, 2),
-        "p50_device_fwd_ms": round(fwd_ms, 3),
         "tunnel_roundtrip_ms": round(rtt_ms, 2),
     }
+    if fwd_ms is not None:
+        out["p50_device_fwd_ms"] = round(fwd_ms, 3)
     # north-star ratio vs the measured Keras-on-TPU denominator (the
     # reference's own UNet++ run via Keras-3 jax backend on this chip,
     # benchmarks/keras_denominator.py)
