@@ -1,0 +1,101 @@
+"""Serving-path benchmark: batched inference throughput on the device.
+
+Measures the ``serve.Predictor`` path (padded static-batch jitted
+forward, bf16) for the flagship UNet++ 256² at several max_batch sizes —
+the numbers behind the serving section of docs/SCALING.md.  Each timing
+fences with a host fetch (tunnel semantics; the per-call tunnel
+round-trip is measured and reported separately so the device-side
+throughput is visible).
+
+Usage: python benchmarks/serving_bench.py [max_batch ...]   (default 1 8 32)
+Prints one JSON line per batch size.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _enable_compile_cache
+    _enable_compile_cache()
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import Predictor
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    size = 256 if on_tpu else 64
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
+                     output_nums=1, final_activation="sigmoid",
+                     dtype=dtype)
+    trainer = Trainer(model)
+    trainer.init_state(np.zeros((1, size, size, 3), np.float32))
+
+    sizes = [int(a) for a in sys.argv[1:]] or [1, 8, 32]
+    for mb in sizes:
+        pred = Predictor(model, trainer.state, (size, size, 3),
+                         max_batch=mb, dtype=dtype)
+        x = np.random.default_rng(0).normal(
+            size=(mb, size, size, 3)).astype(np.float32)
+        pred(x)  # warm (compiled in Predictor.__init__ already)
+        iters = 20 if on_tpu else 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            pred(x)  # __call__ fetches the full mask to numpy = fence
+        dt = time.perf_counter() - t0
+
+        # device-side compute throughput: chain K forwards in ONE jit
+        # with a data dependence, fetch one scalar — excludes the
+        # host<->device (here: tunnel) transfer of the mask bytes, which
+        # dominates the request path on a remote tunnel but not on a
+        # co-located production host
+        K = 10 if on_tpu else 2
+        xb = jnp.asarray(x, dtype)
+
+        @jax.jit
+        def chained(xi):
+            def body(c, _):
+                m = pred._fn(c).mean().astype(c.dtype)
+                return c + m * jnp.asarray(1e-6, c.dtype), m
+            _, ms = jax.lax.scan(body, xi, None, length=K)
+            return ms.sum()
+
+        float(chained(xb))  # compile
+        # tunnel round-trip on a trivial op: each rep's fetch pays one,
+        # subtract it so dev_dt is the pure device time per batch
+        tiny = jax.jit(lambda v: v + 1.0)
+        float(tiny(jnp.float32(0)))
+        rtts = []
+        for _ in range(10 if on_tpu else 2):
+            t0 = time.perf_counter()
+            float(tiny(jnp.float32(0)))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        reps = 5 if on_tpu else 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(chained(xb))
+        dev_dt = max((time.perf_counter() - t0) / reps - rtt, 1e-9) / K
+
+        print(json.dumps({
+            "max_batch": mb,
+            "request_path_ips": round(mb * iters / dt, 2),
+            "request_ms": round(dt / iters * 1e3, 2),
+            "device_ips": round(mb / dev_dt, 2),
+            "device_ms_per_batch": round(dev_dt * 1e3, 2),
+            "note": "request path includes the full mask fetch over the "
+                    "axon tunnel; device_ips is the co-located ceiling",
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
