@@ -198,3 +198,38 @@ def test_compute_dtype_ini_key(tmp_path):
     assert all(l.dtype == jnp.float32 for l in leaves)
     with pytest.raises(ValueError, match="unknown compute_dtype"):
         _build_model(TrainConfig(compute_dtype="float16"))
+
+
+def test_folds_cli(tmp_path):
+    """`tpuseg folds` splits an image/mask pair into the reference's
+    Data/{Train,Test,Val}/fold_i layout."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import main
+    src = tmp_path / "raw"
+    _write_dataset(str(src), n=10)
+    out = tmp_path / "Data"
+    main(["folds", "--images", str(src / "images"),
+          "--masks", str(src / "masks"), "--out", str(out),
+          "--folds", "2", "--test-portion", "0.2", "--val-portion", "0.1"])
+    for split, n in (("Train", 7), ("Test", 2), ("Val", 1)):
+        for fold in (1, 2):
+            d = out / split / f"fold_{fold}" / "images"
+            assert d.is_dir() and len(list(d.iterdir())) == n, (split, fold)
+
+
+def test_train_with_all_perf_ini_keys(tmp_path):
+    """remat + accumulation_steps + compute_dtype all at once through the
+    real driver: the performance knobs must compose."""
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=4)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", batch_size=4, num_epochs=2,
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        load_weights=False,
+        remat="dots", accumulation_steps=2, compute_dtype="bfloat16")
+    ini = tmp_path / "cfg.ini"
+    save_train_config(cfg, str(ini))
+    hist = run_train(config=load_train_config(str(ini)))
+    assert len(hist[1]["loss"]) == 2
+    assert all(np.isfinite(v) for v in hist[1]["loss"])

@@ -443,6 +443,17 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_exp.add_argument("--out", default="model.stablehlo")
     p_exp.add_argument("--fold", type=int, default=1)
     p_exp.add_argument("--batch", type=int, default=1)
+    p_fld = sub.add_parser(
+        "folds", help="split an image/mask folder pair into "
+        "Data/{Train,Test,Val}/fold_i (reference create_folds, "
+        "helper_functions.py:443-477)")
+    p_fld.add_argument("--images", required=True)
+    p_fld.add_argument("--masks", required=True)
+    p_fld.add_argument("--out", default="Data")
+    p_fld.add_argument("--folds", type=int, default=5)
+    p_fld.add_argument("--test-portion", type=float, default=0.2)
+    p_fld.add_argument("--val-portion", type=float, default=0.1)
+    p_fld.add_argument("--seed", type=int, default=1)
     args = parser.parse_args(argv)
     if args.cmd == "train":
         train(args.config)
@@ -455,6 +466,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "export":
         export(args.config, out_path=args.out, fold=args.fold,
                batch=args.batch)
+    elif args.cmd == "folds":
+        from .data.generators import create_folds
+        create_folds(args.images, args.masks, args.out,
+                     num_folds=args.folds, test_portion=args.test_portion,
+                     val_portion=args.val_portion, seed=args.seed)
+        print(f"wrote {args.folds} folds under {args.out}/", flush=True)
     else:
         test(args.config)
 
