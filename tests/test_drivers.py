@@ -233,3 +233,34 @@ def test_train_with_all_perf_ini_keys(tmp_path):
     hist = run_train(config=load_train_config(str(ini)))
     assert len(hist[1]["loss"]) == 2
     assert all(np.isfinite(v) for v in hist[1]["loss"])
+
+
+def test_predict_cli(tmp_path):
+    """`tpuseg predict` segments an unlabeled image folder with a trained
+    checkpoint and writes one PNG mask per input."""
+    from PIL import Image as PImage
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import main
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=4)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", batch_size=2, num_epochs=1,
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        load_weights=False)
+    run_train(config=cfg)
+    # unlabeled inputs: images only, no masks directory at all
+    raw = tmp_path / "unlabeled"
+    os.makedirs(raw)
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        PImage.fromarray((rng.uniform(0, 255, (48, 48, 3))
+                          ).astype(np.uint8)).save(str(raw / f"u{i}.png"))
+    out = tmp_path / "masks"
+    main(["predict", str(tmp_path / "R" / "Train_Configs.ini"),
+          "--input", str(raw), "--out", str(out), "--batch", "2"])
+    files = sorted(os.listdir(out))
+    assert files == ["u0_mask.png", "u1_mask.png", "u2_mask.png"]
+    m = PImage.open(str(out / files[0]))
+    assert m.size == (32, 32)

@@ -421,6 +421,60 @@ def export(config_path: str = "Train_Configs.ini",
     return path
 
 
+def predict(config_path: str = "Train_Configs.ini",
+            input_path: str = ".", out_dir: str = "predicted_masks",
+            fold: int = 1, threshold: float = 0.5,
+            batch: int = 8) -> tp.List[str]:
+    """Pure inference on UNLABELED images: restore the fold checkpoint,
+    segment every image under ``input_path`` (file or folder), write PNG
+    label masks named after the inputs.  No reference equivalent — the
+    reference's only inference path (Test.py) requires ground-truth
+    masks to run."""
+    from .data.generators import _list_images, load_image
+    from .serve import Predictor, _mask_to_png
+
+    cfg = load_train_config(config_path) if isinstance(config_path, str) \
+        else config_path
+    model = _build_model(cfg)
+    from .train import Trainer
+    trainer = Trainer(model)
+    size = (cfg.imlength, cfg.imwidth)
+    trainer.init_state(np.zeros((1, *size, cfg.num_channels), np.float32))
+    ckpt = CheckpointManager(_fold_dir(cfg, fold))
+    if ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {_fold_dir(cfg, fold)};"
+              " predicting with freshly initialized weights", flush=True)
+    paths = ([input_path] if os.path.isfile(input_path)
+             else _list_images(input_path))
+    if not paths:
+        raise FileNotFoundError(f"no images under {input_path!r}")
+    predictor = Predictor(model, trainer.state, (*size, cfg.num_channels),
+                          max_batch=min(batch, len(paths)))
+    os.makedirs(out_dir, exist_ok=True)
+    n_fg = max(cfg.class_number, 1)
+    written = []
+    for start in range(0, len(paths), predictor.max_batch):
+        chunk = paths[start:start + predictor.max_batch]
+        x = np.stack([load_image(p, size, cfg.image_color_mode, "lanczos")
+                      / cfg.normalizing_factor_img for p in chunk])
+        preds = predictor(x)
+        for p, pred in zip(chunk, preds):
+            if cfg.class_number <= 1:
+                label = (pred[..., 0] > threshold).astype(np.int32)
+            else:  # reference Test.py:169-175 sum-of-binarized rule
+                label = (pred[..., :n_fg] > threshold).astype(
+                    np.int32).sum(-1)
+            name = os.path.splitext(os.path.basename(p))[0] + "_mask.png"
+            dst = os.path.join(out_dir, name)
+            with open(dst, "wb") as f:
+                f.write(_mask_to_png(label, n_fg + 1))
+            written.append(dst)
+    print(f"wrote {len(written)} masks to {out_dir}/", flush=True)
+    return written
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     import argparse
     parser = argparse.ArgumentParser(prog="tpuseg")
@@ -443,6 +497,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_exp.add_argument("--out", default="model.stablehlo")
     p_exp.add_argument("--fold", type=int, default=1)
     p_exp.add_argument("--batch", type=int, default=1)
+    p_prd = sub.add_parser(
+        "predict", help="segment unlabeled images (file or folder) with a "
+        "trained fold checkpoint; writes PNG masks")
+    p_prd.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_prd.add_argument("--input", required=True)
+    p_prd.add_argument("--out", default="predicted_masks")
+    p_prd.add_argument("--fold", type=int, default=1)
+    p_prd.add_argument("--threshold", type=float, default=0.5)
+    p_prd.add_argument("--batch", type=int, default=8)
     p_fld = sub.add_parser(
         "folds", help="split an image/mask folder pair into "
         "Data/{Train,Test,Val}/fold_i (reference create_folds, "
@@ -466,6 +529,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "export":
         export(args.config, out_path=args.out, fold=args.fold,
                batch=args.batch)
+    elif args.cmd == "predict":
+        predict(args.config, input_path=args.input, out_dir=args.out,
+                fold=args.fold, threshold=args.threshold, batch=args.batch)
     elif args.cmd == "folds":
         from .data.generators import create_folds
         create_folds(args.images, args.masks, args.out,
