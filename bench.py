@@ -110,39 +110,19 @@ def main() -> None:
         float(infer(xi).sum())  # fetch = fence (incl. tunnel round-trip)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat)) * 1e3
-    # tunnel round-trip on a trivial jitted op (same fence mechanics)
-    tiny = jax.jit(lambda v: v + 1.0)
-    float(tiny(jnp.float32(0)))
-    rtt = []
-    for _ in range(30 if on_tpu else 5):
-        t0 = time.perf_counter()
-        float(tiny(jnp.float32(0)))
-        rtt.append(time.perf_counter() - t0)
-    rtt_ms = float(np.median(rtt)) * 1e3
-
-    # device-side forward time: chain K forwards in ONE jit with a data
-    # dependence (no CSE), fetch once; t_fwd = (T - rtt)/K.  Costs one
-    # extra remote compile — skipped when the uncached-compile path has
-    # already eaten the run budget (the driver bounds bench at ~580 s)
+    # tunnel round-trip + device-side forward time via the shared
+    # fencing helpers (utils/bench_timing.py).  The chained measurement
+    # costs one extra remote compile — skipped when the uncached-compile
+    # path has already eaten the run budget (driver bounds bench ~580 s)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.bench_timing import (
+        chained_device_time, measure_rtt)
+    rtt_s = measure_rtt(30 if on_tpu else 5)
+    rtt_ms = rtt_s * 1e3
     fwd_ms = None
     if time.perf_counter() - t_start < 360:
-        K = 20 if on_tpu else 2
-
-        @jax.jit
-        def chained(xi):
-            def body(c, _):
-                m = fwd(c).mean().astype(c.dtype)
-                return c + m * jnp.asarray(1e-6, c.dtype), m
-            _, ms = jax.lax.scan(body, xi, None, length=K)
-            return ms.sum()
-
-        float(chained(xi))  # compile
-        chain = []
-        for _ in range(10 if on_tpu else 2):
-            t0 = time.perf_counter()
-            float(chained(xi))
-            chain.append(time.perf_counter() - t0)
-        fwd_ms = max(float(np.median(chain)) * 1e3 - rtt_ms, 0.0) / K
+        fwd_ms = chained_device_time(
+            fwd, xi, K=20 if on_tpu else 2,
+            reps=10 if on_tpu else 2, rtt_s=rtt_s) * 1e3
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")

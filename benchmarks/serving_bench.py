@@ -53,38 +53,15 @@ def main():
             pred(x)  # __call__ fetches the full mask to numpy = fence
         dt = time.perf_counter() - t0
 
-        # device-side compute throughput: chain K forwards in ONE jit
-        # with a data dependence, fetch one scalar — excludes the
-        # host<->device (here: tunnel) transfer of the mask bytes, which
-        # dominates the request path on a remote tunnel but not on a
-        # co-located production host
-        K = 10 if on_tpu else 2
+        # device-side compute throughput via the shared fencing helper
+        # (utils/bench_timing.py) — excludes the host<->device (here:
+        # tunnel) transfer of the mask bytes, which dominates the request
+        # path on a remote tunnel but not on a co-located production host
+        from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.bench_timing \
+            import chained_device_time
         xb = jnp.asarray(x, dtype)
-
-        @jax.jit
-        def chained(xi):
-            def body(c, _):
-                m = pred._fn(c).mean().astype(c.dtype)
-                return c + m * jnp.asarray(1e-6, c.dtype), m
-            _, ms = jax.lax.scan(body, xi, None, length=K)
-            return ms.sum()
-
-        float(chained(xb))  # compile
-        # tunnel round-trip on a trivial op: each rep's fetch pays one,
-        # subtract it so dev_dt is the pure device time per batch
-        tiny = jax.jit(lambda v: v + 1.0)
-        float(tiny(jnp.float32(0)))
-        rtts = []
-        for _ in range(10 if on_tpu else 2):
-            t0 = time.perf_counter()
-            float(tiny(jnp.float32(0)))
-            rtts.append(time.perf_counter() - t0)
-        rtt = float(np.median(rtts))
-        reps = 5 if on_tpu else 2
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            float(chained(xb))
-        dev_dt = max((time.perf_counter() - t0) / reps - rtt, 1e-9) / K
+        dev_dt = chained_device_time(pred._fn, xb, K=10 if on_tpu else 2,
+                                     reps=5 if on_tpu else 2)
 
         print(json.dumps({
             "max_batch": mb,

@@ -264,3 +264,29 @@ def test_predict_cli(tmp_path):
     assert files == ["u0_mask.png", "u1_mask.png", "u2_mask.png"]
     m = PImage.open(str(out / files[0]))
     assert m.size == (32, 32)
+
+
+def test_predict_cli_patchify(tmp_path):
+    """predict honors the config's patchify mode (patch grid ->
+    overlap-averaged unpatchify, same as the test driver)."""
+    from PIL import Image as PImage
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import predict
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=2, size=64)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=64, imwidth=64, model_width=4, model_depth=2,
+        decoder_name="UNet", batch_size=1, num_epochs=1,
+        patchify=True, patch_width=32, patch_height=32, overlap_ratio=0.5,
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        load_weights=False)
+    run_train(config=cfg)
+    raw = tmp_path / "unlabeled"
+    os.makedirs(raw)
+    PImage.fromarray((np.random.default_rng(0).uniform(0, 255, (64, 64, 3))
+                      ).astype(np.uint8)).save(str(raw / "a.png"))
+    out = tmp_path / "masks"
+    written = predict(cfg, input_path=str(raw), out_dir=str(out))
+    assert len(written) == 1
+    assert PImage.open(written[0]).size == (64, 64)

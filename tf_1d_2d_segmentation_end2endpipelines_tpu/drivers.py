@@ -27,6 +27,7 @@ from .data.patch import create_patches, unpatchify
 from .data.pyramid import prepare_train_dict
 from .eval import (
     confusion_matrix_update,
+    label_from_pred,
     evaluation_table,
     export_results_sheet,
     init_confusion_matrix,
@@ -48,9 +49,10 @@ from .utils.config import (TestConfig, TrainConfig, load_test_config,
 
 
 def _resolve_dtype(cfg: TrainConfig, dtype):
-    """INI ``compute_dtype`` wins unless the caller passed an explicit
-    non-default dtype (programmatic callers keep full control)."""
-    if dtype is not jnp.float32:
+    """``dtype=None`` means "use the INI ``compute_dtype``"; an explicit
+    dtype (including jnp.float32) always wins, so programmatic callers
+    can force reference-numerics f32 against a bfloat16 config."""
+    if dtype is not None:
         return dtype
     name = getattr(cfg, "compute_dtype", "float32").strip().lower()
     if name in ("", "float32", "f32"):
@@ -61,7 +63,7 @@ def _resolve_dtype(cfg: TrainConfig, dtype):
                      "(expected float32 or bfloat16)")
 
 
-def _build_model(cfg: TrainConfig, dtype=jnp.float32):
+def _build_model(cfg: TrainConfig, dtype=None):
     dtype = _resolve_dtype(cfg, dtype)
     return model_selector(
         model_genre=cfg.model_genre,
@@ -85,6 +87,25 @@ def _build_model(cfg: TrainConfig, dtype=jnp.float32):
     )
 
 
+def _restore_trainer(cfg: TrainConfig, ckpt_dir: str, action: str,
+                     dtype=None):
+    """Build the model + Trainer, init state, restore the 'best'
+    checkpoint under ``ckpt_dir`` (warn when absent).  Shared by export,
+    predict, and the HTTP server."""
+    from .train import Trainer
+    model = _build_model(cfg, dtype=dtype)
+    trainer = Trainer(model)
+    trainer.init_state(np.zeros(
+        (1, cfg.imlength, cfg.imwidth, cfg.num_channels), np.float32))
+    ckpt = CheckpointManager(ckpt_dir)
+    if ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {ckpt_dir}; "
+              f"{action} freshly initialized weights", flush=True)
+    return model, trainer
+
+
 def _fold_dir(cfg, fold: int) -> str:
     task = "" if cfg.save_dir is None else cfg.save_dir
     return os.path.join(task, f"Fold_{fold}")
@@ -100,7 +121,7 @@ def _wrap_targets(y: np.ndarray, cfg: TrainConfig):
 
 def train(config_path: str = "Train_Configs.ini",
           config: tp.Optional[TrainConfig] = None,
-          dtype=jnp.float32) -> tp.Dict[int, tp.Dict[str, tp.List[float]]]:
+          dtype=None) -> tp.Dict[int, tp.Dict[str, tp.List[float]]]:
     """Fold-loop training driver.  Returns {fold: history}."""
     cfg = config if config is not None else load_train_config(config_path)
     histories: tp.Dict[int, tp.Dict[str, tp.List[float]]] = {}
@@ -231,7 +252,7 @@ def train(config_path: str = "Train_Configs.ini",
 def test(config_path: str = "Test_Configs.ini",
          config: tp.Optional[TestConfig] = None,
          train_config: tp.Optional[TrainConfig] = None,
-         dtype=jnp.float32) -> tp.Dict[int, tp.Dict[str, tp.Any]]:
+         dtype=None) -> tp.Dict[int, tp.Dict[str, tp.Any]]:
     """Fold-loop evaluation driver.  Returns {fold: report dict}."""
     cfg = config if config is not None else load_test_config(config_path)
     tcfg = train_config
@@ -315,17 +336,15 @@ def test(config_path: str = "Test_Configs.ini",
                     yield i, preds[k], pairs[k][1]
 
         for idx, pred, msk in _prediction_stream():
+            # shared rule (eval.label_from_pred = Test.py:169-175
+            # semantics): binary threshold, or sum-of-binarized foreground
+            # channels so ordinal mask encodings (tumor-within-kidney)
+            # yield labels 0..class_number matching the report size
+            pred_lbl = label_from_pred(pred, cfg.class_number,
+                                       cfg.threshold)
             if cfg.class_number <= 1:
-                pred_lbl = (pred[..., 0] > cfg.threshold).astype(np.int32)
                 true_lbl = (msk[..., 0] > cfg.threshold).astype(np.int32)
             else:
-                # reference Test.py:169-175: binarize each of the
-                # class_number foreground channels at the threshold and SUM
-                # — ordinal mask encodings (e.g. tumor-within-kidney) yield
-                # labels 0..class_number, matching the mask label space and
-                # the (class_number+1)-entry report
-                fg = pred[..., :cfg.class_number]
-                pred_lbl = (fg > cfg.threshold).astype(np.int32).sum(-1)
                 true_lbl = msk[..., 0].astype(np.int32)
             cm = confusion_matrix_update(cm, jnp.asarray(true_lbl),
                                          jnp.asarray(pred_lbl))
@@ -402,19 +421,11 @@ def export(config_path: str = "Train_Configs.ini",
     equivalent — the reference redeploys by reloading the whole Keras
     session (Test.py:110-116)."""
     from .serve import export_model
-    from .train import Trainer
 
     cfg = config if config is not None else load_train_config(config_path)
-    model = _build_model(cfg)
-    trainer = Trainer(model)
     shape = (batch, cfg.imlength, cfg.imwidth, cfg.num_channels)
-    trainer.init_state(np.zeros((1, *shape[1:]), np.float32))
-    ckpt = CheckpointManager(_fold_dir(cfg, fold))
-    if ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {_fold_dir(cfg, fold)};"
-              " exporting freshly initialized weights", flush=True)
+    model, trainer = _restore_trainer(cfg, _fold_dir(cfg, fold),
+                                      "exporting")
     path = export_model(model, trainer.state, shape, out_path)
     print(f"exported {cfg.encoder_name}_{cfg.decoder_name} "
           f"(input {shape}) -> {path}", flush=True)
@@ -427,52 +438,81 @@ def predict(config_path: str = "Train_Configs.ini",
             batch: int = 8) -> tp.List[str]:
     """Pure inference on UNLABELED images: restore the fold checkpoint,
     segment every image under ``input_path`` (file or folder), write PNG
-    label masks named after the inputs.  No reference equivalent — the
-    reference's only inference path (Test.py) requires ground-truth
-    masks to run."""
-    from .data.generators import _list_images, load_image
-    from .serve import Predictor, _mask_to_png
+    label masks named after the inputs.  Honors the config's patchify
+    mode (patch grid -> predict -> overlap-averaged unpatchify, exactly
+    like the test driver).  No reference equivalent — the reference's
+    only inference path (Test.py) requires ground-truth masks to run."""
+    import concurrent.futures as cf
 
+    from .data.generators import _list_images, load_image
+    from .serve import Predictor
+
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     cfg = load_train_config(config_path) if isinstance(config_path, str) \
         else config_path
-    model = _build_model(cfg)
-    from .train import Trainer
-    trainer = Trainer(model)
     size = (cfg.imlength, cfg.imwidth)
-    trainer.init_state(np.zeros((1, *size, cfg.num_channels), np.float32))
-    ckpt = CheckpointManager(_fold_dir(cfg, fold))
-    if ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {_fold_dir(cfg, fold)};"
-              " predicting with freshly initialized weights", flush=True)
     paths = ([input_path] if os.path.isfile(input_path)
              else _list_images(input_path))
     if not paths:
         raise FileNotFoundError(f"no images under {input_path!r}")
-    predictor = Predictor(model, trainer.state, (*size, cfg.num_channels),
-                          max_batch=min(batch, len(paths)))
+    model, trainer = _restore_trainer(cfg, _fold_dir(cfg, fold),
+                                      "predicting with")
     os.makedirs(out_dir, exist_ok=True)
     n_fg = max(cfg.class_number, 1)
     written = []
-    for start in range(0, len(paths), predictor.max_batch):
-        chunk = paths[start:start + predictor.max_batch]
-        x = np.stack([load_image(p, size, cfg.image_color_mode, "lanczos")
-                      / cfg.normalizing_factor_img for p in chunk])
-        preds = predictor(x)
-        for p, pred in zip(chunk, preds):
-            if cfg.class_number <= 1:
-                label = (pred[..., 0] > threshold).astype(np.int32)
-            else:  # reference Test.py:169-175 sum-of-binarized rule
-                label = (pred[..., :n_fg] > threshold).astype(
-                    np.int32).sum(-1)
-            name = os.path.splitext(os.path.basename(p))[0] + "_mask.png"
-            dst = os.path.join(out_dir, name)
-            with open(dst, "wb") as f:
-                f.write(_mask_to_png(label, n_fg + 1))
-            written.append(dst)
+
+    def decode(p):
+        return load_image(p, size, cfg.image_color_mode,
+                          "lanczos") / cfg.normalizing_factor_img
+
+    if cfg.patchify:
+        # per-image patch grid, like the test driver (drivers.test)
+        for p in paths:
+            patches, _ = create_patches(
+                decode(p), (cfg.patch_width, cfg.patch_height),
+                cfg.overlap_ratio)
+            pred = unpatchify(
+                np.asarray(trainer.predict(patches)["out"]),
+                size, cfg.overlap_ratio)
+            written.append(_write_mask(pred, p, out_dir, cfg.class_number,
+                                       threshold, n_fg))
+    else:
+        predictor = Predictor(model, trainer.state,
+                              (*size, cfg.num_channels),
+                              max_batch=min(batch, len(paths)))
+        chunks = [paths[s:s + predictor.max_batch]
+                  for s in range(0, len(paths), predictor.max_batch)]
+
+        def make(c):
+            return np.stack([decode(p) for p in c])
+
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            # double-buffer: decode chunk i+1 while the device runs i
+            # (bounded one chunk ahead, so huge folders don't pile up)
+            nxt = pool.submit(make, chunks[0])
+            for i, chunk in enumerate(chunks):
+                x = nxt.result()
+                if i + 1 < len(chunks):
+                    nxt = pool.submit(make, chunks[i + 1])
+                preds = predictor(x)
+                for p, pred in zip(chunk, preds):
+                    written.append(_write_mask(pred, p, out_dir,
+                                               cfg.class_number,
+                                               threshold, n_fg))
     print(f"wrote {len(written)} masks to {out_dir}/", flush=True)
     return written
+
+
+def _write_mask(pred, src_path, out_dir, class_number, threshold, n_fg):
+    from .eval import label_from_pred
+    from .serve import _mask_to_png
+    label = label_from_pred(pred, class_number, threshold)
+    name = os.path.splitext(os.path.basename(src_path))[0] + "_mask.png"
+    dst = os.path.join(out_dir, name)
+    with open(dst, "wb") as f:
+        f.write(_mask_to_png(label, n_fg + 1))
+    return dst
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:

@@ -21,6 +21,7 @@ from .segmetrics import (  # noqa: F401
     dice,
     evaluation_table,
     init_confusion_matrix,
+    label_from_pred,
     one_hot_encoding,
     per_class_binary_counts,
     reverse_one_hot_encoding,

@@ -124,3 +124,18 @@ def dice(y_true: np.ndarray, y_pred: np.ndarray, smooth: float = 1.0
     p = np.asarray(y_pred).ravel()
     inter = np.sum(t * p)
     return (2.0 * inter + smooth) / (t.sum() + p.sum() + smooth)
+
+
+def label_from_pred(pred: np.ndarray, class_number: int,
+                    threshold: float = 0.5) -> np.ndarray:
+    """Model output -> integer label map (ONE shared implementation of the
+    reference's rule, Test.py:169-175): binary = threshold channel 0;
+    multiclass = binarize each of the ``class_number`` foreground channels
+    at the threshold and SUM, so ordinal mask encodings (e.g.
+    tumor-within-kidney) land in 0..class_number.  Used by the test
+    driver, the predict CLI, and the HTTP server."""
+    pred = np.asarray(pred)
+    if class_number <= 1:
+        return (pred[..., 0] > threshold).astype(np.int32)
+    fg = pred[..., :class_number]
+    return (fg > threshold).astype(np.int32).sum(-1)

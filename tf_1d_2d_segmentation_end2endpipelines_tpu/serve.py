@@ -274,23 +274,13 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
     """
     import http.server
 
-    import jax.numpy as jnp
+    from .drivers import _resolve_dtype, _restore_trainer
+    from .eval import label_from_pred
 
-    from .drivers import _build_model
-    from .train import CheckpointManager, Trainer
-
-    dtype = dtype or jnp.float32
-    model = _build_model(train_cfg, dtype=dtype)
-    trainer = Trainer(model)
+    dtype = _resolve_dtype(train_cfg, dtype)
+    model, trainer = _restore_trainer(train_cfg, ckpt_dir, "serving",
+                                      dtype=dtype)
     size = (train_cfg.imlength, train_cfg.imwidth)
-    trainer.init_state(np.zeros((1, *size, train_cfg.num_channels),
-                                np.float32))
-    ckpt = CheckpointManager(ckpt_dir)
-    if ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {ckpt_dir}; "
-              "serving freshly initialized weights", flush=True)
     predictor = Predictor(model, trainer.state,
                           (*size, train_cfg.num_channels),
                           max_batch=max_batch, dtype=dtype)
@@ -340,11 +330,8 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
             try:  # server-side faults (predict/encode) -> 500
                 pred = (batcher.predict(x) if batcher is not None
                         else predictor(x[None])[0])
-                if train_cfg.class_number <= 1:
-                    label = (pred[..., 0] > threshold).astype(np.int32)
-                else:
-                    label = (pred[..., :n_fg] > threshold).astype(
-                        np.int32).sum(-1)
+                label = label_from_pred(pred, train_cfg.class_number,
+                                        threshold)
                 self._send(200, _mask_to_png(label, n_fg + 1), "image/png")
             except Exception as e:  # noqa: BLE001
                 self._send(500, f"error: {e}".encode(), "text/plain")
