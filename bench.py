@@ -39,16 +39,16 @@ def main() -> None:
         get_loss, make_optimizer, make_train_step)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # batch 128 + remat('dots'): throughput-optimal on v5e.  Step time
-    # plateaus with batch while throughput keeps scaling; 'dots' remat
-    # (save MXU results, recompute the rest in backward) shrinks live
-    # activation memory so b128 fits where the plain step stops at b56
-    # (benchmarks/batch_remat_sweep.py: 56:plain=270, 128:dots=450
-    # img/s/chip; b136+ fails the remote compiler)
+    # batch 128 PLAIN: throughput-optimal on v5e.  b128 is a tiled-layout
+    # sweet spot across the whole zoo (benchmarks/batch_remat_sweep.py):
+    # 56:plain=270, 128:dots=450, 128:PLAIN=510 img/s/chip — at b128 the
+    # activations fit without remat and the plain step beats dots by 13%
+    # (remat stays the tool for batches that genuinely don't fit).
+    # b192/b256 plain and b136+ dots fail the remote compiler.
     batch = 128 if on_tpu else 4
     size = 256 if on_tpu else 64
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    remat = "dots" if on_tpu else None
+    remat = None
 
     model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
                      output_nums=1, final_activation="sigmoid", dtype=dtype)
