@@ -1,0 +1,149 @@
+"""Augmentation pipeline tests: pair-consistent transforms, non-square
+safety, the offline `tpuseg augment` stage (reference augment,
+helper_functions.py:480-501), and on-the-fly loader augmentation."""
+import os
+
+import numpy as np
+from PIL import Image
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.data.generators import (
+    PrefetchLoader, SegmentationFolderDataset, augment_dataset,
+    augment_pair, _warp_pair)
+
+
+def test_warp_pair_image_mask_consistency():
+    """The SAME affine hits image and mask: a mask that traces the image
+    must still trace it after the warp (up to interpolation at edges)."""
+    rng = np.random.default_rng(0)
+    img = np.zeros((40, 40, 1), np.float32)
+    img[10:30, 14:26] = 1.0
+    msk = img.copy()
+    w_img, w_msk = _warp_pair(img, msk, angle=17.0, scale=1.05,
+                              tx=0.03, ty=-0.02)
+    assert w_img.shape == img.shape and w_msk.shape == msk.shape
+    # nearest-warped mask stays binary
+    assert set(np.unique(w_msk)) <= {0.0, 1.0}
+    # and overlaps the bilinear-warped image region almost perfectly
+    inter = np.sum((w_img > 0.5) & (w_msk > 0.5))
+    union = np.sum((w_img > 0.5) | (w_msk > 0.5))
+    assert inter / union > 0.9
+    del rng
+
+
+def test_augment_pair_nonsquare_and_label_preservation():
+    """Non-square inputs never crash; nearest-resampled masks keep their
+    ordinal label values exactly; same seed -> same output."""
+    rng_img = np.random.default_rng(3)
+    img = rng_img.uniform(0, 1, (48, 32, 3)).astype(np.float32)
+    msk = np.zeros((48, 32, 1), np.float32)
+    msk[8:20, 8:20] = 1.0
+    msk[12:16, 12:16] = 2.0
+    for seed in range(8):  # sweep seeds so every op branch fires
+        a_img, a_msk = augment_pair(img, msk,
+                                    np.random.default_rng(seed))
+        assert a_img.shape == img.shape and a_msk.shape == msk.shape
+        assert set(np.unique(a_msk)) <= {0.0, 1.0, 2.0}, seed
+    one = augment_pair(img, msk, np.random.default_rng(5))
+    two = augment_pair(img, msk, np.random.default_rng(5))
+    assert np.array_equal(one[0], two[0])
+    assert np.array_equal(one[1], two[1])
+
+
+def test_augment_pair_geometric_consistency():
+    """Feed the mask AS the image: every geometric op must hit both
+    identically (photometric jitter applies to the image only, so compare
+    support masks, not values)."""
+    msk = np.zeros((32, 32, 1), np.float32)
+    msk[4:20, 10:26] = 1.0
+    for seed in range(8):
+        a_img, a_msk = augment_pair(msk.copy(), msk.copy(),
+                                    np.random.default_rng(seed))
+        # bilinear (image) vs nearest (mask) resampling may disagree on
+        # single boundary pixels; interiors must coincide
+        ai, am = a_img > 0.5, a_msk > 0.5
+        iou = np.sum(ai & am) / max(np.sum(ai | am), 1)
+        assert iou > 0.93, (seed, iou)
+
+
+def _write_pairs(root, n=2, size=(32, 32)):
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.uniform(0, 255, (*size, 3)).astype(np.uint8)
+        msk = np.zeros(size, np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i}.png"))
+        Image.fromarray(msk).save(os.path.join(root, "masks", f"{i}.png"))
+
+
+def test_augment_dataset_offline(tmp_path):
+    """Offline stage writes N copies per pair with the reference's
+    _Augmented_{i} naming, masks stay binary, re-runs don't compound,
+    and the folder still loads as a paired dataset."""
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=2)
+    written = augment_dataset(os.path.join(root, "images"),
+                              os.path.join(root, "masks"), 3, seed=1)
+    assert len(written) == 6  # 2 images x 3 copies
+    assert all("_Augmented_" in os.path.basename(p) for p in written)
+    msk_aug = np.asarray(Image.open(os.path.join(
+        root, "masks", "0_Augmented_1.png")))
+    assert set(np.unique(msk_aug)) <= {0, 255}
+    # re-run: augmented files are not re-augmented as sources
+    augment_dataset(os.path.join(root, "images"),
+                    os.path.join(root, "masks"), 1, seed=2)
+    names = os.listdir(os.path.join(root, "images"))
+    assert not any(n.count("_Augmented_") > 1 for n in names)
+    ds = SegmentationFolderDataset(root, (32, 32))
+    # originals + first run (the second run overwrote _Augmented_1 —
+    # reference naming is deterministic, helper_functions.py:501)
+    assert len(ds) == 2 + 6
+    img, msk = ds.load_pair(2)
+    assert img.shape == (32, 32, 3) and msk.shape == (32, 32, 1)
+
+
+def test_augment_cli(tmp_path):
+    """`tpuseg augment --data <root>` iterates fold_i/{images,masks}."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import main
+    for fold in (1, 2):
+        _write_pairs(str(tmp_path / "Train" / f"fold_{fold}"), n=2)
+    main(["augment", "--data", str(tmp_path / "Train"), "--num", "2"])
+    for fold in (1, 2):
+        d = tmp_path / "Train" / f"fold_{fold}" / "images"
+        assert len(list(d.iterdir())) == 2 + 4
+
+
+def test_prefetch_loader_on_the_fly_augment(tmp_path):
+    """augment=True: epochs differ, reruns reproduce, shapes unchanged."""
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=4)
+    ds = SegmentationFolderDataset(root, (32, 32))
+
+    def epoch_batches(loader):
+        return [(x.copy(), y.copy()) for x, y in loader()]
+
+    loader = PrefetchLoader(ds, 2, shuffle=False, seed=7, augment=True)
+    e1 = epoch_batches(loader)
+    e2 = epoch_batches(loader)
+    assert e1[0][0].shape == (2, 32, 32, 3)
+    assert e1[0][1].shape == (2, 32, 32, 1)
+    assert not all(np.array_equal(a[0], b[0]) for a, b in zip(e1, e2))
+    loader_again = PrefetchLoader(ds, 2, shuffle=False, seed=7,
+                                  augment=True)
+    r1 = epoch_batches(loader_again)
+    assert all(np.array_equal(a[0], b[0]) for a, b in zip(e1, r1))
+    # masks stay valid labels after augmentation
+    assert all(set(np.unique(y)) <= {0.0, 1.0} for _, y in e1)
+
+
+def test_prefetch_loader_zero_batch_guard(tmp_path):
+    """drop_remainder + dataset smaller than batch_size must raise, not
+    silently train zero steps (ADVICE r2)."""
+    import pytest
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=2)
+    ds = SegmentationFolderDataset(root, (32, 32))
+    loader = PrefetchLoader(ds, 4, drop_remainder=True)
+    with pytest.raises(ValueError, match="no batches"):
+        next(loader())

@@ -60,9 +60,14 @@ def test_train_and_test_drivers(tmp_path):
     rep = reports[1]
     assert rep["per_class"].shape == (2, 7)
     assert 0 <= rep["overall_accuracy"] <= 100
+    assert rep["checkpoint_restored"] is True
     results_dir = os.path.join(cfg.save_dir, "test_results", "fold_1")
     assert os.path.exists(os.path.join(results_dir, "confusion_matrix.png"))
     assert os.path.exists(os.path.join(results_dir, "masks", "pred_0.png"))
+    # notebook-parity qualitative reports (2D nb cells 72-78)
+    assert os.path.exists(os.path.join(results_dir,
+                                       "prediction_distributions.png"))
+    assert os.path.exists(os.path.join(results_dir, "sample_grid.png"))
 
 
 def test_validation_portion_split(tmp_path):
@@ -142,10 +147,12 @@ def _write_multiclass_dataset(root, n=3, size=32, n_fg=2):
         Image.fromarray(msk).save(os.path.join(root, "masks", f"{i}.png"))
 
 
-def test_multiclass_test_driver(tmp_path):
+def test_multiclass_test_driver(tmp_path, capsys):
     """class_number=2: predictions map into the SAME 0..2 ordinal label
     space as the masks (reference Test.py:169-175 sum-of-binarized rule);
-    every row/col of the 3x3 report is reachable."""
+    every row/col of the 3x3 report is reachable.  Also exercises: the
+    missing-checkpoint warning (no train run happened), and score-based
+    ROC/PRC (roc_from_scores=True uses probability maps)."""
     data = tmp_path / "Data"
     _write_multiclass_dataset(str(data / "Test"), n=2)
     cfg = TrainConfig(
@@ -155,7 +162,7 @@ def test_multiclass_test_driver(tmp_path):
     tcfg = EvalConfig(
         test_dir=str(data / "Test"), imheight=32, imwidth=32,
         decoder_name="UNet", class_number=2, threshold=0.5,
-        normalizing_factor_msk=1.0,
+        normalizing_factor_msk=1.0, roc_from_scores=True,
         start_fold=1, end_fold=1, save_dir=str(tmp_path / "R"))
     reports = run_test(config=tcfg, train_config=cfg)
     rep = reports[1]
@@ -163,6 +170,14 @@ def test_multiclass_test_driver(tmp_path):
     assert rep["per_class"].shape == (3, 7)
     # ground-truth rows must show all three ordinal labels
     assert (rep["confusion_matrix"].sum(axis=1) > 0).all()
+    # no checkpoint existed: the report flags it and a warning printed
+    # (drivers.test previously evaluated fresh weights silently)
+    assert rep["checkpoint_restored"] is False
+    assert "no 'best' checkpoint" in capsys.readouterr().out
+    results_dir = os.path.join(str(tmp_path / "R"), "test_results",
+                               "fold_1")
+    assert os.path.exists(os.path.join(results_dir, "roc.png"))
+    assert os.path.exists(os.path.join(results_dir, "prc.png"))
 
 
 def test_summary_subcommand(tmp_path, capsys):

@@ -154,3 +154,56 @@ def test_dynamic_batcher_propagates_errors():
             batcher.predict(np.zeros((32, 32, 3), np.float32), timeout=10)
     finally:
         batcher.close()
+
+
+def test_dynamic_batcher_close_and_timeout_semantics():
+    """ADVICE r2: predict() after close() fails fast (not a 30 s hang),
+    requests racing close() are drained with an error, and a timed-out
+    waiter's entry is skipped by the worker instead of burning a slot."""
+    import time
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        DynamicBatcher)
+
+    served = []
+
+    class Slow:
+        max_batch = 2
+
+        def __call__(self, batch):
+            served.append(batch.shape[0])
+            return batch
+
+    batcher = DynamicBatcher(Slow(), window_ms=1.0)
+    batcher.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.predict(np.zeros((4, 4, 1), np.float32))
+
+    # timed-out entry: flag set, worker skips it (no device call for it)
+    batcher2 = DynamicBatcher(Slow(), window_ms=1.0)
+    try:
+        stall = threading.Event()
+
+        class Stalled:
+            max_batch = 2
+
+            def __call__(self, batch):
+                stall.wait(5)
+                served.append(batch.shape[0])
+                return batch
+
+        batcher2.predictor = Stalled()
+        # first request occupies the worker inside the stalled predictor
+        t1 = threading.Thread(target=lambda: batcher2.predict(
+            np.zeros((4, 4, 1), np.float32), timeout=10))
+        t1.start()
+        time.sleep(0.2)
+        # second request times out while queued behind the stall
+        with pytest.raises(TimeoutError):
+            batcher2.predict(np.ones((4, 4, 1), np.float32), timeout=0.1)
+        stall.set()
+        t1.join(timeout=10)
+        time.sleep(0.3)  # give the worker a chance to (wrongly) serve it
+        assert served == [1], served  # the cancelled entry never ran
+    finally:
+        stall.set()
+        batcher2.close()

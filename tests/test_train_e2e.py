@@ -174,6 +174,19 @@ def test_remat_unknown_policy_rejected():
                         get_loss("BinaryCrossentropy"), remat="bogus")
 
 
+def test_remat_policy_missing_on_jax_version(monkeypatch):
+    """ADVICE r2: a jax build lacking the checkpoint policy surfaces a
+    friendly ValueError naming the policy, not a raw AttributeError."""
+    import jax as _jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import state
+
+    monkeypatch.setitem(state.REMAT_POLICIES, "dots",
+                        "definitely_not_a_policy")
+    with pytest.raises(ValueError, match="definitely_not_a_policy"):
+        state._remat_policy("dots")
+    del _jax
+
+
 def test_grad_accumulation_matches_full_batch():
     """For a BatchNorm-free model, accum_steps=4 must produce EXACTLY the
     full-batch update (mean-loss gradients average across microbatches)."""

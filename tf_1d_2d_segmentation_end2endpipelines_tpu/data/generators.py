@@ -130,7 +130,8 @@ class PrefetchLoader:
                  overlap_ratio: float = 0.0,
                  num_workers: int = 4,
                  prefetch_batches: int = 2,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 augment: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -141,10 +142,18 @@ class PrefetchLoader:
         self.num_workers = num_workers
         self.prefetch_batches = max(prefetch_batches, 1)
         self.drop_remainder = drop_remainder
+        # on-the-fly augmentation (augment_pair per decoded example,
+        # applied before patchify so patches stay self-consistent); the
+        # rng is seeded per (seed, epoch, index) so epochs differ but
+        # runs reproduce
+        self.augment = augment
         self._epoch = 0
 
     def _load_one(self, i: int) -> tp.Tuple[np.ndarray, np.ndarray]:
         img, msk = self.ds.load_pair(int(i))
+        if self.augment:
+            rng = np.random.default_rng((self.seed, self._epoch, int(i)))
+            img, msk = augment_pair(img, msk, rng)
         if self.patchify:
             ip, _ = create_patches(img, self.patch_shape,
                                    self.overlap_ratio)
@@ -163,7 +172,14 @@ class PrefetchLoader:
         batches = [idx[s:s + self.batch_size]
                    for s in range(0, stop, self.batch_size)]
         if not batches:
-            return
+            # an epoch of zero batches would silently train nothing
+            # (no loss in history, nothing checkpointed) — fail loudly
+            raise ValueError(
+                f"PrefetchLoader yields no batches: dataset has {n} "
+                f"example(s) and batch_size={self.batch_size}"
+                + (" with drop_remainder=True (accumulation requires "
+                   "full batches); shrink batch_size or add data"
+                   if self.drop_remainder and n else ""))
         flat = [int(i) for b in batches for i in b]
         window = self.batch_size * self.prefetch_batches
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
@@ -211,11 +227,40 @@ def create_folds(image_dir: str, mask_dir: str, out_dir: str,
                     shutil.copy2(paths[i], dst)
 
 
+def _warp_pair(img: np.ndarray, msk: np.ndarray, angle: float,
+               scale: float, tx: float, ty: float
+               ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Apply ONE affine (rotate about the center + scale + shift) to both
+    tensors: bilinear for the image, nearest for the mask so label values
+    survive exactly.  Non-square safe (cv2 warp keeps the input canvas)."""
+    import cv2
+    h, w = img.shape[:2]
+    mat = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, scale)
+    mat[0, 2] += tx * w
+    mat[1, 2] += ty * h
+    kw = dict(dsize=(w, h), borderMode=cv2.BORDER_REFLECT_101)
+    img_w = cv2.warpAffine(img, mat, flags=cv2.INTER_LINEAR, **kw)
+    msk_w = cv2.warpAffine(msk, mat, flags=cv2.INTER_NEAREST, **kw)
+    # cv2 drops singleton channel axes
+    if img_w.ndim == 2:
+        img_w = img_w[..., None]
+    if msk_w.ndim == 2:
+        msk_w = msk_w[..., None]
+    return img_w, msk_w
+
+
 def augment_pair(img: np.ndarray, msk: np.ndarray, rng: np.random.Generator
                  ) -> tp.Tuple[np.ndarray, np.ndarray]:
-    """Geometric + photometric augmentation (capability parity with the
-    reference's albumentations pipeline, helper_functions.py:480-501;
-    albumentations is not in this image, so pure-numpy equivalents)."""
+    """Geometric + photometric augmentation of one image/mask pair
+    (capability parity with the reference's albumentations pipeline,
+    helper_functions.py:480-501; albumentations is not in this image, so
+    cv2/numpy equivalents with albumentations-default ranges).
+
+    Ops: H/V flips, rot90 (square inputs), shift-scale-rotate (non-square
+    safe; ±30 deg, scale 0.9-1.1, shift ±6.25% — ShiftScaleRotate
+    defaults), brightness/contrast jitter (image only).  Every geometric
+    op hits image and mask identically; the mask is warped with nearest
+    interpolation so label values are preserved exactly."""
     if rng.random() < 0.5:
         img, msk = img[:, ::-1], msk[:, ::-1]
     if rng.random() < 0.5:
@@ -223,7 +268,53 @@ def augment_pair(img: np.ndarray, msk: np.ndarray, rng: np.random.Generator
     k = int(rng.integers(0, 4))
     if k and img.shape[0] == img.shape[1]:
         img, msk = np.rot90(img, k), np.rot90(msk, k)
+    if rng.random() < 0.5:
+        img, msk = _warp_pair(
+            np.ascontiguousarray(img, np.float32),
+            np.ascontiguousarray(msk, np.float32),
+            angle=float(rng.uniform(-30.0, 30.0)),
+            scale=float(rng.uniform(0.9, 1.1)),
+            tx=float(rng.uniform(-0.0625, 0.0625)),
+            ty=float(rng.uniform(-0.0625, 0.0625)))
     if rng.random() < 0.3:
+        hi = 255.0 if img.max() > 1.0 else 1.0  # raw-uint8 or normalized
         img = np.clip(img * rng.uniform(0.8, 1.2)
-                      + rng.uniform(-0.05, 0.05), 0.0, 1.0)
-    return np.ascontiguousarray(img), np.ascontiguousarray(msk)
+                      + rng.uniform(-0.05, 0.05) * hi, 0.0, hi)
+    return (np.ascontiguousarray(img, np.float32),
+            np.ascontiguousarray(msk, np.float32))
+
+
+def augment_dataset(image_dir: str, mask_dir: str, num_copies: int,
+                    seed: int = 1) -> tp.List[str]:
+    """Offline augmentation: write ``num_copies`` augmented copies of
+    every image/mask pair back into the SAME folders, suffixed
+    ``_Augmented_{i}`` (the reference's pre-training stage:
+    helper_functions.py:480-501 writes ``{name}_Augmented_{iv}.png``
+    in place; the 2D notebook runs it before every training run).
+    Masks get the identical geometric transform (nearest-resampled).
+    Already-augmented files are skipped as sources so re-runs don't
+    compound.  Returns the written image paths."""
+    from PIL import Image
+
+    imgs = [p for p in _list_images(image_dir)
+            if "_Augmented_" not in os.path.basename(p)]
+    msks = [p for p in _list_images(mask_dir)
+            if "_Augmented_" not in os.path.basename(p)]
+    assert len(imgs) == len(msks), "image/mask count mismatch"
+    rng = np.random.default_rng(seed)
+    written = []
+    for img_path, msk_path in zip(imgs, msks):
+        img = np.asarray(Image.open(img_path), np.float32)
+        msk = np.asarray(Image.open(msk_path), np.float32)
+        for i in range(1, num_copies + 1):
+            a_img, a_msk = augment_pair(img, msk, rng)
+            for src, arr in ((img_path, a_img), (msk_path, a_msk)):
+                stem, _ = os.path.splitext(os.path.basename(src))
+                dst = os.path.join(os.path.dirname(src),
+                                   f"{stem}_Augmented_{i}.png")
+                out = np.clip(np.round(arr), 0, 255).astype(np.uint8)
+                Image.fromarray(out.squeeze(-1) if out.ndim == 3
+                                and out.shape[-1] == 1 else out).save(dst)
+                if src is img_path:
+                    written.append(dst)
+    return written

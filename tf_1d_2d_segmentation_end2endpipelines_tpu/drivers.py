@@ -35,6 +35,8 @@ from .eval import (
     plot_history,
     plot_multiclass_precision_recall_curves,
     plot_multiclass_roc,
+    plot_prediction_distributions,
+    plot_sample_grid,
 )
 from .models import model_selector
 from .train import (
@@ -152,6 +154,7 @@ def train(config_path: str = "Train_Configs.ini",
             patchify=cfg.patchify,
             patch_shape=(cfg.patch_width, cfg.patch_height),
             overlap_ratio=cfg.overlap_ratio,
+            augment=cfg.augment,
             # accumulation splits each batch into accum microbatches; a
             # partial trailing batch would not divide, so drop it
             drop_remainder=cfg.accumulation_steps > 1)
@@ -287,9 +290,16 @@ def test(config_path: str = "Test_Configs.ini",
                            else cfg.patch_height,
                            cfg.num_channels), np.float32)
         trainer.init_state(sample)
-        ckpt = CheckpointManager(_fold_dir(tcfg, fold))
-        if ckpt.exists("best"):
+        fold_dir = _fold_dir(tcfg, fold)
+        ckpt = CheckpointManager(fold_dir)
+        restored = ckpt.exists("best")
+        if restored:
             trainer.state = ckpt.restore(trainer.state, "best")
+        else:
+            # same guard as _restore_trainer: a mispointed save_dir must
+            # not silently produce garbage metrics from fresh weights
+            print(f"WARNING: no 'best' checkpoint under {fold_dir}; "
+                  f"evaluating freshly initialized weights", flush=True)
         test_root = (os.path.join(cfg.test_dir, f"fold_{fold}")
                      if os.path.isdir(os.path.join(cfg.test_dir,
                                                    f"fold_{fold}"))
@@ -302,7 +312,8 @@ def test(config_path: str = "Test_Configs.ini",
                                    f"fold_{fold}")
         os.makedirs(os.path.join(results_dir, "masks"), exist_ok=True)
         cm = init_confusion_matrix(n_classes)
-        y_true_all, y_pred_all = [], []
+        y_true_all, y_pred_all, y_score_all = [], [], []
+        samples = []  # (image, mask, pred_label) for the sample grid
 
         def _prediction_stream():
             """Yield (idx, pred, msk).  Whole-image mode batches
@@ -350,6 +361,17 @@ def test(config_path: str = "Test_Configs.ini",
                                          jnp.asarray(pred_lbl))
             y_true_all.append(true_lbl.ravel())
             y_pred_all.append(pred_lbl.ravel())
+            if cfg.roc_from_scores:
+                # per-class probability scores for real swept ROC/PRC:
+                # foreground channels 0..class_number-1 score classes
+                # 1..class_number (the label_from_pred channel
+                # convention); background scores 1 - max foreground
+                p = np.asarray(pred, np.float32).reshape(-1, pred.shape[-1])
+                fg = p[:, :max(cfg.class_number, 1)]
+                y_score_all.append(np.concatenate(
+                    [1.0 - fg.max(axis=1, keepdims=True), fg], axis=1))
+            if len(samples) < 4:
+                samples.append((ds.load_pair(idx)[0], msk, pred_lbl))
             try:
                 from PIL import Image
                 Image.fromarray((pred_lbl * (255 // max(n_classes - 1, 1))
@@ -360,15 +382,29 @@ def test(config_path: str = "Test_Configs.ini",
         cm_np = np.asarray(cm)
         cm_total += cm_np
         report = evaluation_table(cm_np, labels)
+        report["checkpoint_restored"] = restored
         reports[fold] = report
         yt = np.concatenate(y_true_all)
         yp = np.concatenate(y_pred_all)
+        ys = np.concatenate(y_score_all) if y_score_all else None
         plot_conf_mat(cm_np, labels,
                       os.path.join(results_dir, "confusion_matrix.png"))
         plot_multiclass_roc(yt, yp, n_classes,
-                            os.path.join(results_dir, "roc.png"))
+                            os.path.join(results_dir, "roc.png"),
+                            y_score=ys)
         plot_multiclass_precision_recall_curves(
-            yt, yp, n_classes, os.path.join(results_dir, "prc.png"))
+            yt, yp, n_classes, os.path.join(results_dir, "prc.png"),
+            y_score=ys)
+        # notebook-parity qualitative reports (2D_Segmentation_TF.ipynb
+        # cells 72-78): GT-vs-pred value distributions + sample grid
+        plot_prediction_distributions(
+            yt, yp, os.path.join(results_dir,
+                                 "prediction_distributions.png"))
+        if samples:
+            plot_sample_grid(
+                [s[0] for s in samples], [s[1] for s in samples],
+                [s[2] for s in samples],
+                os.path.join(results_dir, "sample_grid.png"))
         export_results_sheet(report,
                              os.path.join(results_dir, "results.xlsx"))
         print(f"Fold {fold}: overall accuracy "
@@ -546,6 +582,18 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_prd.add_argument("--fold", type=int, default=1)
     p_prd.add_argument("--threshold", type=float, default=0.5)
     p_prd.add_argument("--batch", type=int, default=8)
+    p_aug = sub.add_parser(
+        "augment", help="offline augmentation: write N augmented copies "
+        "of every image/mask pair back into the same folders "
+        "(reference augment stage, helper_functions.py:480-501); pass "
+        "either --images/--masks or --data with fold_i subdirs")
+    p_aug.add_argument("--images")
+    p_aug.add_argument("--masks")
+    p_aug.add_argument("--data", help="root containing fold_i/{images,"
+                       "masks} (e.g. Data/Train)")
+    p_aug.add_argument("--num", type=int, default=3,
+                       help="augmented copies per image")
+    p_aug.add_argument("--seed", type=int, default=1)
     p_fld = sub.add_parser(
         "folds", help="split an image/mask folder pair into "
         "Data/{Train,Test,Val}/fold_i (reference create_folds, "
@@ -572,6 +620,29 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "predict":
         predict(args.config, input_path=args.input, out_dir=args.out,
                 fold=args.fold, threshold=args.threshold, batch=args.batch)
+    elif args.cmd == "augment":
+        import glob as _glob
+        from .data.generators import augment_dataset
+        targets = []
+        if args.data:
+            for fold_dir in sorted(_glob.glob(
+                    os.path.join(args.data, "fold_*"))):
+                for sub_i, sub_m in (("images", "masks"), ("img", "msk")):
+                    i_dir = os.path.join(fold_dir, sub_i)
+                    m_dir = os.path.join(fold_dir, sub_m)
+                    if os.path.isdir(i_dir) and os.path.isdir(m_dir):
+                        targets.append((i_dir, m_dir))
+                        break
+        elif args.images and args.masks:
+            targets.append((args.images, args.masks))
+        if not targets:
+            raise SystemExit("augment: pass --images AND --masks, or "
+                             "--data with fold_i/{images,masks} subdirs")
+        total = 0
+        for i_dir, m_dir in targets:
+            total += len(augment_dataset(i_dir, m_dir, args.num,
+                                         seed=args.seed))
+        print(f"wrote {total} augmented image/mask pairs", flush=True)
     elif args.cmd == "folds":
         from .data.generators import create_folds
         create_folds(args.images, args.masks, args.out,

@@ -76,12 +76,21 @@ def _roc_curve(y_true: np.ndarray, y_score: np.ndarray):
 
 
 def plot_multiclass_roc(y_true: np.ndarray, y_pred: np.ndarray,
-                        num_classes: int, save_path: str) -> str:
-    """Per-class + micro-average ROC (helper_functions.py:119-169)."""
+                        num_classes: int, save_path: str,
+                        y_score: tp.Optional[np.ndarray] = None) -> str:
+    """Per-class + micro-average ROC (helper_functions.py:119-169).
+
+    Default scores the curve from the HARD labels ``y_pred`` — degenerate
+    two-point curves, faithfully matching the reference (Test.py:226-228
+    feeds binarized int8 predictions into roc_curve).  Pass ``y_score``
+    (N, num_classes) per-class probabilities for real threshold-swept
+    curves (drivers.test INI key ``roc_from_scores``)."""
     fig, ax = plt.subplots(figsize=(6, 5))
     for c in range(num_classes):
         t = (np.asarray(y_true).ravel() == c).astype(np.float64)
-        s = (np.asarray(y_pred).ravel() == c).astype(np.float64)
+        s = (np.asarray(y_score[:, c]).astype(np.float64)
+             if y_score is not None
+             else (np.asarray(y_pred).ravel() == c).astype(np.float64))
         if t.sum() == 0:
             continue
         fpr, tpr = _roc_curve(t, s)
@@ -97,15 +106,18 @@ def plot_multiclass_roc(y_true: np.ndarray, y_pred: np.ndarray,
     return save_path
 
 
-def plot_multiclass_precision_recall_curves(y_true: np.ndarray,
-                                            y_pred: np.ndarray,
-                                            num_classes: int,
-                                            save_path: str) -> str:
-    """Per-class PRC (helper_functions.py:172-228)."""
+def plot_multiclass_precision_recall_curves(
+        y_true: np.ndarray, y_pred: np.ndarray, num_classes: int,
+        save_path: str, y_score: tp.Optional[np.ndarray] = None) -> str:
+    """Per-class PRC (helper_functions.py:172-228).  ``y_score`` as in
+    ``plot_multiclass_roc``: real probability-swept curves instead of the
+    reference-faithful hard-label ones."""
     fig, ax = plt.subplots(figsize=(6, 5))
     for c in range(num_classes):
         t = (np.asarray(y_true).ravel() == c).astype(np.float64)
-        s = (np.asarray(y_pred).ravel() == c).astype(np.float64)
+        s = (np.asarray(y_score[:, c]).astype(np.float64)
+             if y_score is not None
+             else (np.asarray(y_pred).ravel() == c).astype(np.float64))
         if t.sum() == 0:
             continue
         order = np.argsort(-s)

@@ -178,8 +178,8 @@ class DynamicBatcher:
             except queue.Empty:
                 continue
             if first is None:
-                return
-            pending = [first]
+                break
+            pending = [] if first[2].get("cancelled") else [first]
             deadline = _time.monotonic() + self.window_s
             while len(pending) < self.predictor.max_batch:
                 remaining = deadline - _time.monotonic()
@@ -193,7 +193,10 @@ class DynamicBatcher:
                     # close() mid-collection: run what we have, then exit
                     closing = True
                     break
-                pending.append(item)
+                if not item[2].get("cancelled"):  # timed-out waiter: skip
+                    pending.append(item)          # (don't waste the slot)
+            if not pending:
+                continue
             try:  # np.stack inside: a shape-mismatched request must fail
                 # its waiters, never kill the worker thread
                 preds = self.predictor(np.stack([x for x, _, _ in pending]))
@@ -204,11 +207,23 @@ class DynamicBatcher:
                 for _, ev, box in pending:  # the worker
                     box["error"] = e
                     ev.set()
+        # drain: requests enqueued around close() must not hang their
+        # callers for the full predict timeout
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                item[2]["error"] = RuntimeError("DynamicBatcher closed")
+                item[1].set()
 
     def predict(self, x: np.ndarray, timeout: float = 30.0) -> np.ndarray:
         """Submit ONE example (H, W, C); blocks until its batch runs."""
         import threading
 
+        if self._stop.is_set():
+            raise RuntimeError("DynamicBatcher closed")
         ev = threading.Event()
         box: tp.Dict[str, tp.Any] = {}
         x = np.asarray(x, np.float32)
@@ -219,6 +234,9 @@ class DynamicBatcher:
                              f"got {tuple(x.shape)}")
         self._q.put((x, ev, box))
         if not ev.wait(timeout):
+            # flag it so the worker skips this entry instead of burning a
+            # device batch slot on an abandoned waiter
+            box["cancelled"] = True
             raise TimeoutError("dynamic batcher timed out")
         if "error" in box:
             raise box["error"]

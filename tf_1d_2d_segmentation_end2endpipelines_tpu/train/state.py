@@ -64,10 +64,17 @@ def _remat_policy(name: tp.Optional[str]):
     if not name:
         return None
     try:
-        return getattr(jax.checkpoint_policies, REMAT_POLICIES[name])
+        attr = REMAT_POLICIES[name]
     except KeyError:
         raise ValueError(f"unknown remat policy {name!r}; "
                          f"expected one of {sorted(REMAT_POLICIES)}")
+    try:
+        return getattr(jax.checkpoint_policies, attr)
+    except AttributeError:
+        raise ValueError(
+            f"this jax version ({jax.__version__}) has no "
+            f"jax.checkpoint_policies.{attr}; remat policy {name!r} "
+            f"is unavailable here")
 
 
 def make_train_step(

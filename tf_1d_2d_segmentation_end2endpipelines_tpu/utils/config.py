@@ -77,10 +77,19 @@ class TrainConfig:
     # jax.checkpoint — exact same numbers, less activation memory, larger
     # feasible batches (new capability; see train.state.REMAT_POLICIES)
     remat: str = ""
-    # gradient accumulation: microbatches per optimizer update (effective
-    # batch = batch_size x accumulation_steps; extends effective batch
-    # past the device/compiler memory ceiling, composes with remat)
+    # gradient accumulation: each loader batch of `batch_size` is split
+    # into `accumulation_steps` microbatches of batch_size/steps, with ONE
+    # optimizer update per loader batch — batch_size stays the TOTAL
+    # effective batch.  Raise batch_size together with accumulation_steps
+    # to grow the effective batch past the device/compiler memory ceiling
+    # (only batch_size/steps examples are live at once); composes with
+    # remat.  See train.state.make_train_step.
     accumulation_steps: int = 1
+    # on-the-fly training augmentation (flips/rot90/shift-scale-rotate/
+    # brightness via data.generators.augment_pair — the reference instead
+    # pre-writes augmented copies offline, helper_functions.py:480-501;
+    # that offline mode is the `tpuseg augment` CLI verb)
+    augment: bool = False
     # patching / deep supervision
     patchify: bool = False
     patch_width: int = 64
@@ -122,6 +131,12 @@ class TestConfig:
     patch_height: int = 64
     overlap_ratio: float = 0.0
     d_s: int = 0
+    # ROC/PRC from probability scores instead of hard labels.  Default
+    # False reproduces the reference's curves, which are degenerate
+    # two-point sweeps because Test.py:226-228 feeds binarized int8
+    # predictions into sklearn's roc_curve; True uses the probability
+    # maps the predict step already computes (real swept curves)
+    roc_from_scores: bool = False
 
 
 _T = tp.TypeVar("_T")
