@@ -66,6 +66,50 @@ def test_flags_ag_lstm_ae():
                for path, _ in flat)
 
 
+# one tiny representative per special family, DEFAULT-ON (r2 verdict: the
+# gated full sweep meant a family breakage shipped green; these cost
+# seconds at 32-sample shapes — variants stay in test_model_zoo_full.py)
+def _special_builders():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+        FPN, AlbUNet, Dense_Inception_UNet, LinkNet, TernausNet)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.mlmrsnet import (
+        MLMRSNet)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.saunet import (
+        SAUNet)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models.specials_1d import (
+        BCDUNet, IBAUNet, NABNet, SEDUNet)
+    return {
+        "BCDUNet": (lambda: BCDUNet(model_width=4, model_depth=2,
+                                    lstm=1, dense_loop=2), 32),
+        "SEDUNet": (lambda: SEDUNet(model_width=4, model_depth=2,
+                                    se_ratio=4), 32),
+        "IBAUNet": (lambda: IBAUNet(model_width=4, model_depth=2), 32),
+        "NABNet": (lambda: NABNet(model_width=4, model_depth=2,
+                                  dense_loop=2), 32),
+        "MLMRSNet": (lambda: MLMRSNet(32, 2, 1, 4, 3, cardinality=2,
+                                      pooling_type="mix").MLMRSNet(), 32),
+        "SAUNet": (lambda: SAUNet(32, 2, 1, 8, 3,
+                                  block_size=3).SAUNet(), 32),
+        "DenseInception": (lambda: Dense_Inception_UNet(
+            32, 2, 1, 4, 3).Dense_Inception_UNet(), 32),
+        "TernausNet": (lambda: TernausNet(64, 1, 4).TernausNet11(), 64),
+        "AlbUNet": (lambda: AlbUNet(64, 1, 4).AlbUNet18(), 64),
+        "LinkNet": (lambda: LinkNet(32, 2, 1, 8, 3).LinkNet(), 32),
+        "FPN1D": (lambda: FPN(32, 2, 1, 4, 3).FPN(), 32),
+    }
+
+
+@pytest.mark.parametrize("family", ["BCDUNet", "SEDUNet", "IBAUNet",
+                                    "NABNet", "MLMRSNet", "SAUNet",
+                                    "DenseInception", "TernausNet",
+                                    "AlbUNet", "LinkNet", "FPN1D"])
+def test_special_family_builds_default(family):
+    build, length = _special_builders()[family]
+    x = jnp.ones((1, length, 1))
+    out, _ = _run(build(), x)
+    assert out["out"].shape == (1, length, 1)
+
+
 def test_classification_softmax_1d():
     x = jnp.ones((1, 32, 1))
     model = getattr(UNet1D(32, 2, 1, 4, 3, ds=0,

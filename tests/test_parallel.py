@@ -281,3 +281,29 @@ def test_profiler_trace_capture(tmp_path):
     traces = glob.glob(str(tmp_path / "**" / "*.trace.json.gz"),
                        recursive=True)
     assert traces, "no trace captured"
+
+
+def test_dp_loss_identical_across_mesh_sizes():
+    """Fixed GLOBAL batch: the dp train-step loss must not depend on the
+    mesh size (1/2/4/8) — catches sharding regressions (e.g. a spec that
+    silently drops examples or double-counts the psum) that a single-size
+    dryrun can't (r2 verdict item 8; benchmarks/weak_scaling.py is the
+    step-time probe)."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        shard_batch)
+    model = SegModel(decoder_name="UNet", model_width=4, model_depth=2)
+    opt = make_optimizer("Adam", 1e-3)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = (rng.uniform(size=(8, 32, 32, 1)) > 0.5).astype(np.float32)
+    losses = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(jax.devices()[:n], data=n)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.asarray(x[:1]), opt)
+        state = jax.device_put(state, state_shardings(mesh, state))
+        step = jax.jit(make_train_step(model, opt, get_loss("BCEDiceLoss")))
+        b = shard_batch(mesh, {"x": x, "y": y})
+        _, loss, _ = step(state, b["x"], b["y"], ())
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses, losses[0], rtol=1e-6, atol=1e-7)

@@ -134,8 +134,11 @@ class _DecoderBase(nn.Module):
                                          dtype=self.dtype)(out, train)
             return raw + out
         if self.node == "convmixer":
-            return ConvMixerBlock(features, self.kernel,
-                                  dtype=self.dtype)(x, train)
+            out = x
+            for _ in range(self.conv_repeats):
+                out = ConvMixerBlock(features, self.kernel,
+                                     dtype=self.dtype)(out, train)
+            return out
         out = x
         for _ in range(self.conv_repeats):
             out = ConvBlock(features, self.kernel, dtype=self.dtype)(out, train)

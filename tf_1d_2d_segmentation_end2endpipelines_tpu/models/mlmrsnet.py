@@ -45,7 +45,13 @@ def _pool_same(x: jax.Array, window: int, stride: int, op: str) -> jax.Array:
 
 
 class MSPUnit(nn.Module):
-    features: int
+    """Reference MSP_Unit (MLMRSNet.py:65-82): width and multiplier are
+    SEPARATE — the internal 1x1 conv and transconv emit width*multiplier
+    channels, but the closing 1x1 conv emits width*1 (the reference calls
+    Conv_Block(..., conv_filters, 1, 1), :81)."""
+
+    width: int
+    multiplier: int
     level: int
     pooling_type: str = "mix"
     dtype: Dtype = jnp.float32
@@ -53,6 +59,7 @@ class MSPUnit(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         lvl = self.level
+        wm = self.width * self.multiplier
         if self.pooling_type == "mix":
             mx = _pool_same(x, 3, lvl, "max")
             av = _pool_same(x, 3, lvl, "avg")
@@ -62,27 +69,34 @@ class MSPUnit(nn.Module):
             p = _pool_same(x, 3, lvl, "avg")
         else:
             p = _pool_same(x, 3, lvl, "max")
-        p = ConvBlock(self.features, 1, dtype=self.dtype)(p, train)
-        up1 = TransConv(self.features, kernel=4, strides=lvl, use_bn=True,
+        # use_batchnorm=True is hardcoded at the reference call (:77)
+        p = ConvBlock(wm, 1, dtype=self.dtype)(p, train)
+        up1 = TransConv(wm, kernel=4, strides=lvl, use_bn=True,
                         activation="relu", dtype=self.dtype)(p, train)
         up2 = upsample(p, lvl, method="nearest")
         out = concat(up1, up2)
-        return ConvBlock(self.features, 1, use_bn=False,
+        return ConvBlock(self.width, 1, use_bn=False,
                          dtype=self.dtype)(out, train)
 
 
 class MRPBlock(nn.Module):
-    features: int
+    """Reference MRP_Block (MLMRSNet.py:85-102): the 3/5/7-kernel convs
+    and the closing 1x1 BN conv emit width*multiplier channels; the MSP
+    units receive (width, multiplier) unchanged."""
+
+    width: int
+    multiplier: int
     cardinality: int = 5
     pooling_type: str = "mix"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        f = self.features
+        f = self.width * self.multiplier
         acc = x
         for ii in range(self.cardinality):
-            u = MSPUnit(f, 2 ** ii, pooling_type=self.pooling_type,
+            u = MSPUnit(self.width, self.multiplier, 2 ** ii,
+                        pooling_type=self.pooling_type,
                         dtype=self.dtype)(x, train)
             acc = concat(acc, u)
         x3 = ConvBlock(f, 3, use_bn=False, dtype=self.dtype)(acc, train)
@@ -137,14 +151,14 @@ class MLMRSNetModel(nn.Module):
             taps = []
             pool = x
             for i in range(1, D + 1):
-                conv = MRPBlock(W * 2 ** (i - 1), card, pt,
+                conv = MRPBlock(W, 2 ** (i - 1), card, pt,
                                 dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
                 taps.append(conv)
             if self.ae == 1:
                 pool = FeatureExtractionBlock(W, self.feature_number,
                                               dtype=self.dtype)(pool)
-            deconv = MRPBlock(W * 2 ** D, card, pt, dtype=self.dtype)(pool, train)
+            deconv = MRPBlock(W, 2 ** D, card, pt, dtype=self.dtype)(pool, train)
             for j in range(D):
                 feats = W * 2 ** (D - j - 1)
                 if self.ds == 1:
@@ -157,7 +171,8 @@ class MLMRSNetModel(nn.Module):
                 else:
                     up = upsample(deconv, 2, method="nearest")
                 deconv = concat(up, taps[D - j - 1])
-                deconv = MRPBlock(feats, card, pt, dtype=self.dtype)(deconv, train)
+                deconv = MRPBlock(W, 2 ** (D - j - 1), card, pt,
+                                  dtype=self.dtype)(deconv, train)
             return self._head(deconv, levels)
 
         if self.topology == "MLMRSNet_V2":
@@ -170,14 +185,14 @@ class MLMRSNetModel(nn.Module):
                     for k in range(1, i):
                         g = downsample_pool(taps[k], 2 ** (i - k), op="max")
                         pool = concat(pool, g)
-                conv = MRPBlock(W * 2 ** i, D - i + 1, pt,
+                conv = MRPBlock(W, 2 ** i, D - i + 1, pt,
                                 dtype=self.dtype)(pool, train)
                 taps.append(conv)
                 pool = downsample_pool(conv, 2, op="max")
             if self.ae == 1:
                 pool = FeatureExtractionBlock(W, self.feature_number,
                                               dtype=self.dtype)(pool)
-            deconv = MRPBlock(W * 2 ** D, 1, pt, dtype=self.dtype)(pool, train)
+            deconv = MRPBlock(W, 2 ** D, 1, pt, dtype=self.dtype)(pool, train)
             deconvs: tp.Dict[int, jax.Array] = {}
             for j in range(D):
                 sc_all = taps[D - j - 1]
@@ -191,7 +206,7 @@ class MLMRSNetModel(nn.Module):
                     for m in range(0, j):
                         d = upsample(deconvs[m], 2 ** (j - m), method="nearest")
                         tot = concat(tot, nn.sigmoid(d))
-                deconv = MRPBlock(W * (D + 1), j + 1, pt,
+                deconv = MRPBlock(W, D + 1, j + 1, pt,
                                   dtype=self.dtype)(tot, train)
                 deconvs[j] = deconv
                 if self.ds == 1:
@@ -202,7 +217,7 @@ class MLMRSNetModel(nn.Module):
             taps = []
             pool = x
             for i in range(1, D + 1):
-                conv = MRPBlock(W * 2 ** (i - 1), D - i + 1, pt,
+                conv = MRPBlock(W, 2 ** (i - 1), D - i + 1, pt,
                                 dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
                 taps.append(conv)
@@ -211,7 +226,7 @@ class MLMRSNetModel(nn.Module):
                                               dtype=self.dtype)(pool)
             # latent multiplier 2**(D-1): the reference reuses the loop var
             # (MLMRSNet.py:292), so the bottleneck is half the usual width
-            latent = MRPBlock(W * 2 ** (D - 1), 0, pt,
+            latent = MRPBlock(W, 2 ** (D - 1), 0, pt,
                               dtype=self.dtype)(pool, train)
             skips = taps + [latent]
             if self.ds == 1:

@@ -506,17 +506,20 @@ class ConvMixerBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = _spatial_ndim(x)
         c_in = x.shape[-1]
+        # named 'dw' so conversion streams it as depthwise even at c_in=1
+        # (feature_group_count=1 is then indistinguishable from a plain
+        # conv); gelu approximate=False matches Keras's exact gelu
         dw = nn.Conv(c_in, _tup(self.kernel, n), feature_group_count=c_in,
                      padding="SAME", dtype=self.dtype,
-                     param_dtype=jnp.float32)(x)
-        dw = nn.gelu(dw)
+                     param_dtype=jnp.float32, name="dw")(x)
+        dw = nn.gelu(dw, approximate=False)
         dw = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                           epsilon=1e-3, dtype=self.dtype,
                           param_dtype=jnp.float32)(dw)
         x = dw + x
         x = nn.Conv(self.features, _tup(1, n), dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(x)

@@ -52,7 +52,9 @@ def _flax_kind(mod) -> tp.Optional[str]:
             return "oper"
         if name == "input_conv":
             return "convlstm"
-        if getattr(mod, "feature_group_count", 1) > 1:
+        if getattr(mod, "feature_group_count", 1) > 1 or name == "dw":
+            # 'dw': a depthwise conv whose input has 1 channel
+            # (feature_group_count=1); Keras still streams it as depthwise
             return "dwconv"
         return "conv"
     if isinstance(mod, nn.Dense):
