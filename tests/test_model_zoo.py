@@ -110,6 +110,36 @@ def test_special_family_builds_default(family):
     assert out["out"].shape == (1, length, 1)
 
 
+# one case per dispatch branch of the 1D factory (the reference has no 1D
+# factory — SURVEY.md §2.2; this is the added L3 dispatch, api_1d.py)
+SELECTOR_1D_CASES = [
+    ("UNetPP", 32, 4), ("ConvMixerUNet", 32, 4), ("BCDUNet", 32, 4),
+    ("MLMRSNet", 32, 4), ("SAUNet", 32, 8), ("Dense_Inception_UNet", 32, 4),
+    ("TernausNet11", 64, 4), ("AlbUNet18", 64, 4), ("LinkNet", 32, 8),
+    ("FPN", 32, 4),
+]
+
+
+@pytest.mark.parametrize("arch,length,width",
+                         SELECTOR_1D_CASES,
+                         ids=[c[0] for c in SELECTOR_1D_CASES])
+def test_model_selector_1d_dispatch(arch, length, width):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+        model_selector_1d)
+    model = model_selector_1d(arch, length, 2, 1, width, 3,
+                              cardinality=2, block_size=3)
+    x = jnp.ones((1, length, 1))
+    out, _ = _run(model, x)
+    assert out["out"].shape == (1, length, 1)
+
+
+def test_model_selector_1d_unknown_raises():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+        model_selector_1d)
+    with pytest.raises(ValueError, match="unknown 1D architecture"):
+        model_selector_1d("NotAModel", 32, 2, 1, 4, 3)
+
+
 def test_classification_softmax_1d():
     x = jnp.ones((1, 32, 1))
     model = getattr(UNet1D(32, 2, 1, 4, 3, ds=0,

@@ -5,6 +5,7 @@ from .api_1d import (  # noqa: F401
     ConvMixerUNet,
     SegModel1D,
     UNet1D,
+    model_selector_1d,
 )
 from .decoders import DECODER_NAMES, build_decoder  # noqa: F401
 from .dense_inception import Dense_Inception_UNet  # noqa: F401

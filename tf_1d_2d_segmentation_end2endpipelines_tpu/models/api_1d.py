@@ -306,3 +306,92 @@ def _add_methods():
 
 
 _add_methods()
+
+
+def model_selector_1d(arch: str, length: int, model_depth: int,
+                      num_channel: int, model_width: int, kernel_size: int,
+                      problem_type: str = "Regression", output_nums: int = 1,
+                      ds: int = 0, ae: int = 0, ag: int = 0, lstm: int = 0,
+                      alpha: float = 1.0, t: int = 2, q: int = 3,
+                      dense_loop: int = 2, feature_number: int = 1024,
+                      is_transconv: bool = True, cardinality: int = 5,
+                      pooling_type: str = "avg", se_ratio: int = 16,
+                      block_size: int = 7, keep_prob: float = 0.9,
+                      dtype=jnp.float32):
+    """ONE name-string dispatch over the whole 1D zoo (the reference has
+    no 1D factory — each Models/*.py exposes its own builder class,
+    SURVEY.md §2.2; this is the L3 equivalent the 2D tree's
+    model_selector provides).  Accepts every UNet1D arch name plus the
+    special families' method names (BCDUNet, SEDUNet, IBAUNet, NABNet,
+    MLMRSNet/MLMRSNet_V2/LDNet, SAUNet/SAMultiResUNet/SelfSAUNet,
+    Dense_Inception_UNet, TernausNet{11,13,16,19}, AlbUNet{18..152},
+    LinkNet{,E,P,PP}/MultiResLinkNet, FPN)."""
+    if arch in _ARCHS:
+        return UNet1D(length, model_depth, num_channel, model_width,
+                      kernel_size, problem_type=problem_type,
+                      output_nums=output_nums, ds=ds, ae=ae, ag=ag,
+                      lstm=lstm, alpha=alpha, t=t, q=q,
+                      feature_number=feature_number,
+                      is_transconv=is_transconv, dtype=dtype)._build(arch)
+    from .dense_inception import Dense_Inception_UNet
+    from .extra_1d import FPN, AlbUNet, LinkNet, TernausNet
+    from .mlmrsnet import MLMRSNet
+    from .saunet import SAUNet
+    from .specials_1d import BCDUNet, IBAUNet, NABNet, SEDUNet
+
+    common = dict(model_width=model_width, model_depth=model_depth,
+                  kernel_size=kernel_size, problem_type=problem_type,
+                  output_nums=output_nums, ds=ds, ae=ae, ag=ag, lstm=lstm,
+                  feature_number=feature_number, is_transconv=is_transconv,
+                  dtype=dtype)
+    if arch in ("BCDUNet", "SEDUNet", "IBAUNet", "NABNet"):
+        cls = {"BCDUNet": BCDUNet, "SEDUNet": SEDUNet,
+               "IBAUNet": IBAUNet, "NABNet": NABNet}[arch]
+        return cls(dense_loop=dense_loop, se_ratio=se_ratio, **common)
+    if arch in ("MLMRSNet", "MLMRSNet_V2", "LDNet"):
+        return getattr(MLMRSNet(
+            length, model_depth, num_channel, model_width, kernel_size,
+            problem_type=problem_type, output_nums=output_nums, ds=ds,
+            ae=ae, cardinality=cardinality, pooling_type=pooling_type,
+            feature_number=feature_number, is_transconv=is_transconv,
+            dtype=dtype), arch)()
+    if arch in ("SAUNet", "SAMultiResUNet", "SelfSAUNet"):
+        return getattr(SAUNet(
+            length, model_depth, num_channel, model_width, kernel_size,
+            output_nums=output_nums, ds=ds, ae=ae, alpha=alpha,
+            feature_number=feature_number, block_size=block_size,
+            keep_prob=keep_prob, is_transconv=is_transconv, q=q,
+            dtype=dtype), arch)()
+    if arch == "Dense_Inception_UNet":
+        return Dense_Inception_UNet(
+            length, model_depth, num_channel, model_width, kernel_size,
+            problem_type=problem_type, output_nums=output_nums, ds=ds,
+            ae=ae, ag=ag, feature_number=feature_number,
+            dtype=dtype).Dense_Inception_UNet()
+    if arch.startswith("TernausNet"):
+        return getattr(TernausNet(
+            length, num_channel, model_width, ds=ds, ae=ae, ag=ag,
+            problem_type=problem_type, output_nums=output_nums,
+            feature_number=feature_number, is_transconv=is_transconv,
+            dtype=dtype), arch)()
+    if arch.startswith("AlbUNet"):
+        return getattr(AlbUNet(
+            length, num_channel, model_width, ds=ds, ae=ae, ag=ag,
+            problem_type=problem_type, output_nums=output_nums,
+            feature_number=feature_number, dtype=dtype), arch)()
+    if "LinkNet" in arch:
+        return getattr(LinkNet(
+            length, model_depth, num_channel, model_width, kernel_size,
+            problem_type=problem_type, output_nums=output_nums, ds=ds,
+            ae=ae, ag=ag, lstm=lstm, alpha=alpha,
+            feature_number=feature_number, is_transconv=is_transconv,
+            dtype=dtype), arch)()
+    if arch == "FPN":
+        return FPN(length, model_depth, num_channel, model_width,
+                   kernel_size, problem_type=problem_type,
+                   output_nums=output_nums, ds=ds, ae=ae, ag=ag,
+                   feature_number=feature_number,
+                   is_transconv=is_transconv, dtype=dtype).FPN()
+    raise ValueError(
+        f"unknown 1D architecture {arch!r}; expected one of "
+        f"{sorted(_ARCHS)} or a special-family method name")
