@@ -1,0 +1,70 @@
+"""End-to-end 1D driver test: .pt signal set -> train_1d -> checkpoint ->
+test_1d -> NILM metric report (the reference's notebook-only 1D flow,
+1D_Segmentation.ipynb cells 29-63, as the INI-driven L6 surface)."""
+import json
+import os
+
+import numpy as np
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (
+    save_pt, synthetic_signals)
+from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import \
+    test_1d as run_test_1d  # alias: pytest must not collect it
+from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+    train_1d)
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+    Signal1DConfig, load_signal_config, save_signal_config)
+
+
+def _make_cfg(tmp_path, **over):
+    x, y = synthetic_signals(12, length=64)
+    y = np.abs(y)  # NILM power signals are nonnegative (notebook cell 29)
+    save_pt({"samples": x, "labels": y}, str(tmp_path / "Train_Set.pt"))
+    save_pt({"samples": x[:4], "labels": y[:4]},
+            str(tmp_path / "Test_Set.pt"))
+    kw = dict(
+        train_set=str(tmp_path / "Train_Set.pt"),
+        test_set=str(tmp_path / "Test_Set.pt"),
+        signal_length=64, num_channel=1, model_name="UNet",
+        model_depth=2, model_width=4, kernel_size=3, d_s=1,
+        batch_size=4, num_epochs=2, learning_rate=1e-3,
+        loss_function="MeanAbsoluteError",
+        metric_list=("MeanSquaredError",), monitor_param="loss",
+        save_dir=str(tmp_path / "Results_1D"), load_weights=False,
+    )
+    kw.update(over)
+    return Signal1DConfig(**kw)
+
+
+def test_signal_config_ini_roundtrip(tmp_path):
+    cfg = _make_cfg(tmp_path, model_name="BCDUNet", lstm=1)
+    ini = tmp_path / "Signal_Configs.ini"
+    save_signal_config(cfg, str(ini))
+    cfg2 = load_signal_config(str(ini))
+    assert cfg2.model_name == "BCDUNet" and cfg2.lstm == 1
+    assert cfg2.model_width == 4 and cfg2.d_s == 1
+    assert cfg2.metric_list == ("MeanSquaredError",)
+
+
+def test_train_and_test_1d_drivers(tmp_path):
+    cfg = _make_cfg(tmp_path)
+    hist = train_1d(config=cfg)
+    assert len(hist["loss"]) == 2
+    assert os.path.isdir(os.path.join(cfg.save_dir, "best"))
+    assert os.path.exists(os.path.join(cfg.save_dir, "history.png"))
+    # the model-defining config is persisted with the artifacts
+    assert os.path.exists(os.path.join(cfg.save_dir, "Signal_Configs.ini"))
+
+    metrics = run_test_1d(config=cfg)
+    for key in ("MAE", "MSE", "RMSE", "SAE", "EA", "JEOI", "DEOI"):
+        assert key in metrics, key
+    assert metrics["restored_checkpoint"] is True
+    with open(os.path.join(cfg.save_dir, "test_metrics_1d.json")) as f:
+        assert json.load(f)["MAE"] == metrics["MAE"]
+
+
+def test_test_1d_warns_without_checkpoint(tmp_path, capsys):
+    cfg = _make_cfg(tmp_path, save_dir=str(tmp_path / "Empty"))
+    metrics = run_test_1d(config=cfg)
+    assert metrics["restored_checkpoint"] is False
+    assert "WARNING: no 'best' checkpoint" in capsys.readouterr().out

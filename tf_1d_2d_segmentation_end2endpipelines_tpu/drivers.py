@@ -559,6 +559,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_train.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_test = sub.add_parser("test")
     p_test.add_argument("config", nargs="?", default="Test_Configs.ini")
+    p_t1d = sub.add_parser(
+        "train1d", help="train on a .pt signal set (the reference's "
+        "notebook-only 1D pipeline, 1D_Segmentation.ipynb cells 29-49, "
+        "as an INI-driven verb)")
+    p_t1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_e1d = sub.add_parser(
+        "test1d", help="NILM evaluation of a trained 1D model on a .pt "
+        "signal set (notebook cells 51-63)")
+    p_e1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_srv = sub.add_parser("serve")
@@ -608,6 +617,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     args = parser.parse_args(argv)
     if args.cmd == "train":
         train(args.config)
+    elif args.cmd == "train1d":
+        from .drivers_1d import train_1d
+        train_1d(args.config)
+    elif args.cmd == "test1d":
+        from .drivers_1d import test_1d
+        test_1d(args.config)
     elif args.cmd == "summary":
         summary(args.config)
     elif args.cmd == "serve":

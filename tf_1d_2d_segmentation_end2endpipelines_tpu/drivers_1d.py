@@ -1,0 +1,192 @@
+"""1D signal train/test drivers.
+
+The reference's 1D pipeline is notebook-driven with no entry script
+(1D_Segmentation.ipynb: cells 29-35 load .pt sets, 35-49 build + fit,
+51-63 NILM evaluation).  These drivers give it the same L6 INI surface
+the 2D tree has (``drivers.train``/``drivers.test``):
+
+- ``train_1d``: Signal_Configs.ini -> model_selector_1d -> DS pyramid ->
+  compiled train/eval steps -> callbacks -> best-checkpoint -> history
+- ``test_1d``: restore checkpoint -> batched jitted prediction -> the
+  notebook's NILM metric suite (MAE/MSE/RMSE/PCC, SAE, EA, JEOI, DEOI)
+  -> console table + json
+
+TPU-first notes: prediction runs batched through one jitted step (the
+notebook predicts whole 21600-sample sequences at batch 1); metrics are
+host-side numpy over fetched outputs, matching the notebook formulas
+exactly (eval/nilm.py).
+"""
+from __future__ import annotations
+
+import json
+import os
+import typing as tp
+
+import numpy as np
+
+from .data.pyramid import prepare_train_dict
+from .data.pt_io import load_signal_dataset
+from .data.synthetic import batches
+from .eval import (
+    calculate_deoi,
+    calculate_ea,
+    calculate_jeoi,
+    calculate_sae,
+    construction_error,
+    plot_history,
+)
+from .models import model_selector_1d
+from .train import (
+    CheckpointManager,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    Trainer,
+    default_ds_weights,
+)
+from .utils.config import (Signal1DConfig, load_signal_config,
+                           save_signal_config)
+
+
+def _resolve_dtype_1d(cfg: Signal1DConfig, dtype):
+    import jax.numpy as jnp
+    if dtype is not None:
+        return dtype
+    name = getattr(cfg, "compute_dtype", "float32").strip().lower()
+    if name in ("", "float32", "f32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"unknown compute_dtype {name!r} "
+                     "(expected float32 or bfloat16)")
+
+
+def _build_model_1d(cfg: Signal1DConfig, dtype=None):
+    return model_selector_1d(
+        cfg.model_name, cfg.signal_length, cfg.model_depth,
+        cfg.num_channel, cfg.model_width, cfg.kernel_size,
+        problem_type=cfg.problem_type, output_nums=cfg.output_nums,
+        ds=cfg.d_s, ae=cfg.a_e, ag=cfg.a_g, lstm=cfg.lstm,
+        alpha=cfg.alpha, q=cfg.q_onn, dense_loop=cfg.dense_loop,
+        feature_number=cfg.feature_number, is_transconv=cfg.is_transconv,
+        cardinality=cfg.cardinality, pooling_type=cfg.pooling_type,
+        se_ratio=cfg.se_ratio, block_size=cfg.block_size,
+        keep_prob=cfg.keep_prob, dtype=_resolve_dtype_1d(cfg, dtype))
+
+
+def _wrap_targets_1d(y: np.ndarray, cfg: Signal1DConfig):
+    if cfg.d_s == 1:
+        import jax.numpy as jnp
+        return {k: np.asarray(v) for k, v in prepare_train_dict(
+            jnp.asarray(y), cfg.model_depth, cfg.ds_type,
+            spatial_rank=1).items()}
+    return y
+
+
+def train_1d(config_path: str = "Signal_Configs.ini",
+             config: tp.Optional[Signal1DConfig] = None,
+             dtype=None) -> tp.Dict[str, tp.List[float]]:
+    """Train on a .pt signal set (notebook cells 35-49).  Returns the
+    history dict."""
+    cfg = config if config is not None else load_signal_config(config_path)
+    if cfg.save_dir:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        # persist the model-defining config with the artifacts so a
+        # standalone test_1d run can rebuild the exact architecture
+        save_signal_config(cfg, os.path.join(cfg.save_dir,
+                                             "Signal_Configs.ini"))
+    x, y = load_signal_dataset(cfg.train_set, cfg.x_key, cfg.y_key)
+    targets = _wrap_targets_1d(y, cfg)
+
+    val_data = None
+    if cfg.val_set and os.path.exists(cfg.val_set):
+        xv, yv = load_signal_dataset(cfg.val_set, cfg.x_key, cfg.y_key)
+        val_data = batches(xv, _wrap_targets_1d(yv, cfg), cfg.batch_size,
+                           shuffle=False, drop_remainder=False)
+
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(
+        model,
+        loss=cfg.loss_function,
+        optimizer=cfg.optimizer_function,
+        learning_rate=cfg.learning_rate,
+        metrics=tuple(cfg.metric_list),
+        loss_weights=(default_ds_weights(cfg.model_depth)
+                      if cfg.d_s == 1 else None),
+        seed=cfg.seed,
+    )
+    trainer.init_state(x[: min(len(x), cfg.batch_size)])
+
+    ckpt = CheckpointManager(cfg.save_dir)
+    if cfg.load_weights and ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+        print(f"resumed from {cfg.save_dir}/best", flush=True)
+    monitor = cfg.monitor_param
+    if monitor.startswith("val_") and val_data is None:
+        monitor = monitor[len("val_"):] or "loss"
+    history = trainer.fit(
+        batches(x, targets, cfg.batch_size, shuffle=True, seed=cfg.seed),
+        val_data=val_data,
+        epochs=cfg.num_epochs,
+        callbacks=[
+            EarlyStopping(monitor=monitor, patience=cfg.patience_amount,
+                          mode=cfg.patience_mode),
+            ReduceLROnPlateau(monitor=monitor, factor=cfg.rlronp_factor,
+                              patience=cfg.patience_amount_rlronp,
+                              mode=cfg.patience_mode),
+        ],
+        checkpoint=ckpt,
+        monitor=monitor,
+    )
+    if cfg.save_history and cfg.save_dir:
+        with open(os.path.join(cfg.save_dir, "history.json"), "w") as f:
+            json.dump(history, f)
+        metric = cfg.metric_list[0] if cfg.metric_list else None
+        plot_history(history, os.path.join(cfg.save_dir, "history.png"),
+                     metric_name=metric)
+    return history
+
+
+def test_1d(config_path: str = "Signal_Configs.ini",
+            config: tp.Optional[Signal1DConfig] = None,
+            dtype=None) -> tp.Dict[str, tp.Any]:
+    """Evaluate on a .pt signal set with the notebook's NILM metric
+    suite (cells 51-63).  Returns the metrics dict (also written to
+    ``{save_dir}/test_metrics_1d.json``)."""
+    cfg = config if config is not None else load_signal_config(config_path)
+    x, y = load_signal_dataset(cfg.test_set, cfg.x_key, cfg.y_key)
+
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(x[: min(len(x), cfg.batch_size)])
+    ckpt = CheckpointManager(cfg.save_dir)
+    restored = ckpt.exists("best")
+    if restored:
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir}; "
+              "evaluating freshly initialized weights", flush=True)
+
+    preds = []
+    for s in range(0, len(x), cfg.batch_size):
+        preds.append(trainer.predict(x[s:s + cfg.batch_size])["out"])
+    pred = np.concatenate(preds, axis=0)
+
+    metrics: tp.Dict[str, tp.Any] = dict(construction_error(y, pred))
+    # SAE/EA divide by sum(ground): the notebook evaluates nonnegative
+    # power signals (cells 54-57); shift both sides as it does when the
+    # data can cross zero is the caller's choice — raw here, faithfully
+    gsum = float(np.sum(y))
+    if gsum > 0:
+        metrics["SAE"] = calculate_sae(y, pred)
+        metrics["EA"] = calculate_ea(y, pred)
+    metrics["JEOI"] = calculate_jeoi(y, pred)
+    metrics["DEOI"] = calculate_deoi(y, pred)
+    metrics["restored_checkpoint"] = bool(restored)
+    for k, v in metrics.items():
+        print(f"{k}: {v}", flush=True)
+    if cfg.save_dir:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        with open(os.path.join(cfg.save_dir, "test_metrics_1d.json"),
+                  "w") as f:
+            json.dump(metrics, f)
+    return metrics

@@ -139,6 +139,63 @@ class TestConfig:
     roc_from_scores: bool = False
 
 
+@dc.dataclass
+class Signal1DConfig:
+    """Config for the 1D signal pipeline (section [SIGNAL1D]).
+
+    The reference's 1D pipeline has no entry script or INI — the notebook
+    (1D_Segmentation.ipynb cells 29-64) hard-codes everything inline.
+    This gives it the same typed-INI L6 surface the 2D tree has; field
+    names mirror TrainConfig where the concepts coincide."""
+    # data: .pt signal containers (notebook cells 29-35)
+    train_set: str = "Data/Train_Set.pt"
+    val_set: str = ""
+    test_set: str = "Data/Test_Set.pt"
+    x_key: str = "samples"
+    y_key: str = "labels"
+    signal_length: int = 1024
+    num_channel: int = 1
+    # model: any name model_selector_1d accepts (UNet1D archs + specials)
+    model_name: str = "UNet"
+    model_depth: int = 3
+    model_width: int = 16
+    kernel_size: int = 3
+    problem_type: str = "Regression"
+    output_nums: int = 1
+    d_s: int = 0
+    a_e: int = 0
+    a_g: int = 0
+    lstm: int = 0
+    alpha: float = 1.0
+    q_onn: int = 3
+    dense_loop: int = 2
+    feature_number: int = 1024
+    is_transconv: bool = True
+    cardinality: int = 5
+    pooling_type: str = "avg"
+    se_ratio: int = 16
+    block_size: int = 7
+    keep_prob: float = 0.9
+    ds_type: str = "UNet"
+    # training
+    batch_size: int = 8
+    learning_rate: float = 3e-4
+    num_epochs: int = 50
+    loss_function: str = "MeanAbsoluteError"
+    optimizer_function: str = "Adam"
+    metric_list: tp.Tuple[str, ...] = ("MeanSquaredError",)
+    monitor_param: str = "val_loss"
+    patience_amount: int = 20
+    patience_amount_rlronp: int = 10
+    patience_mode: str = "min"
+    rlronp_factor: float = 0.5
+    save_history: bool = True
+    load_weights: bool = True
+    save_dir: str = "Results_1D"
+    seed: int = 1
+    compute_dtype: str = "float32"
+
+
 _T = tp.TypeVar("_T")
 
 
@@ -180,6 +237,23 @@ def load_test_config(path: str) -> TestConfig:
     with open(path) as f:
         parser.read_file(f)
     return _load_section(TestConfig, parser["TEST"])
+
+
+def load_signal_config(path: str) -> Signal1DConfig:
+    """Load a Signal_Configs.ini (section [SIGNAL1D])."""
+    parser = configparser.ConfigParser()
+    with open(path) as f:
+        parser.read_file(f)
+    return _load_section(Signal1DConfig, parser["SIGNAL1D"])
+
+
+def save_signal_config(cfg: Signal1DConfig, path: str) -> None:
+    parser = configparser.ConfigParser()
+    parser["SIGNAL1D"] = {
+        k: (",".join(v) if isinstance(v, tuple) else str(v))
+        for k, v in dc.asdict(cfg).items()}
+    with open(path, "w") as f:
+        parser.write(f)
 
 
 def save_train_config(cfg: TrainConfig, path: str) -> None:
