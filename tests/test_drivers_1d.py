@@ -68,3 +68,13 @@ def test_test_1d_warns_without_checkpoint(tmp_path, capsys):
     metrics = run_test_1d(config=cfg)
     assert metrics["restored_checkpoint"] is False
     assert "WARNING: no 'best' checkpoint" in capsys.readouterr().out
+
+
+def test_summary_1d(tmp_path, capsys):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        summary_1d)
+    cfg = _make_cfg(tmp_path, model_name="SEDUNet", se_ratio=4)
+    info = summary_1d(config=cfg)
+    assert info["params"] > 0
+    assert info["outputs"]["out"] == (1, 64, 1)
+    assert "Trainable params" in capsys.readouterr().out

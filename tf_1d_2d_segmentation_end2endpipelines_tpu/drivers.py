@@ -568,6 +568,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         "test1d", help="NILM evaluation of a trained 1D model on a .pt "
         "signal set (notebook cells 51-63)")
     p_e1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_s1d = sub.add_parser("summary1d", help="param/output summary for a "
+                           "[SIGNAL1D] config (abstract shapes, no compile)")
+    p_s1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_srv = sub.add_parser("serve")
@@ -623,6 +626,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "test1d":
         from .drivers_1d import test_1d
         test_1d(args.config)
+    elif args.cmd == "summary1d":
+        from .drivers_1d import summary_1d
+        summary_1d(args.config)
     elif args.cmd == "summary":
         summary(args.config)
     elif args.cmd == "serve":

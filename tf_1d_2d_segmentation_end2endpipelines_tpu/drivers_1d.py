@@ -146,6 +146,43 @@ def train_1d(config_path: str = "Signal_Configs.ini",
     return history
 
 
+def summary_1d(config_path: str = "Signal_Configs.ini",
+               config: tp.Optional[Signal1DConfig] = None
+               ) -> tp.Dict[str, tp.Any]:
+    """Model summary from a signal config (abstract shapes only — no
+    compile; mirrors ``drivers.summary`` for the 1D zoo)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = config if config is not None else load_signal_config(config_path)
+    model = _build_model_1d(cfg)
+    sample = jnp.zeros((1, cfg.signal_length, cfg.num_channel),
+                       jnp.float32)
+
+    def _build():
+        v = model.init(jax.random.PRNGKey(0), sample, train=False)
+        return v, model.apply(v, sample, train=False)
+
+    variables, outputs = jax.eval_shape(_build)
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree.leaves(variables.get("params", {})))
+    n_stats = sum(int(np.prod(l.shape))
+                  for l in jax.tree.leaves(variables.get("batch_stats",
+                                                         {})))
+    info = {
+        "model": cfg.model_name,
+        "params": n_params,
+        "batch_stats": n_stats,
+        "outputs": {k: tuple(v.shape) for k, v in outputs.items()},
+    }
+    print(f"Model: {info['model']}")
+    print(f"Trainable params:     {n_params:,}")
+    print(f"BatchNorm statistics: {n_stats:,}")
+    for k, shape in sorted(info["outputs"].items()):
+        print(f"  output {k}: {shape}")
+    return info
+
+
 def test_1d(config_path: str = "Signal_Configs.ini",
             config: tp.Optional[Signal1DConfig] = None,
             dtype=None) -> tp.Dict[str, tp.Any]:
