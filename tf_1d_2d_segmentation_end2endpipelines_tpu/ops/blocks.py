@@ -16,6 +16,7 @@ TPU-first notes
 """
 from __future__ import annotations
 
+import os
 import typing as tp
 
 import jax
@@ -169,6 +170,56 @@ def upsample(x: jax.Array, factor: tp.Union[int, tuple] = 2,
     return jax.image.resize(x, shape, method="bilinear")
 
 
+def _slicemax_pool(x: jax.Array, f: tp.Tuple[int, ...]) -> jax.Array:
+    """Max-pool (window == stride) as an elementwise max of strided
+    slices, with the backward pass of ``lax.reduce_window`` kept exactly
+    (via custom_vjp) so tie-breaking on plateaus — common after ReLU —
+    routes gradients identically to XLA's select_and_scatter.
+
+    MEASURED AND REJECTED as the default (round 3, real-TPU A/B at the
+    b128 flagship config): baseline 249.6 ms/step vs slicemax 252.9.
+    The profile's 18 ms ``compare_select_fusion`` — long attributed to
+    the pool forward — did NOT move; a new 1.5 ms
+    ``maximum_maximum_fusion`` appeared instead, proving XLA's
+    reduce_window forward was already ~1-2 ms (fused) and the 18 ms
+    category is the ReLU/LeakyReLU backward select chains (elementwise
+    over ~15 GB of activation+gradient traffic — bandwidth-bound,
+    nothing to win).  Kept behind TPUSEG_POOL_IMPL=slicemax with an
+    exact-equivalence test as the committed evidence.  Forward values
+    are bit-identical (max over the same elements)."""
+    import itertools
+
+    window = (1, *f, 1)
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
+
+    def ref_pool(t):
+        return jax.lax.reduce_window(t, init, jax.lax.max, window, window,
+                                     "VALID")
+
+    @jax.custom_vjp
+    def pool(t):
+        trims = tuple((t.shape[i + 1] // fi) * fi for i, fi in enumerate(f))
+        t2 = t[(slice(None), *(slice(0, tr) for tr in trims), slice(None))]
+        out = None
+        for offs in itertools.product(*(range(fi) for fi in f)):
+            s = t2[(slice(None),
+                    *(slice(o, None, fi) for o, fi in zip(offs, f)),
+                    slice(None))]
+            out = s if out is None else jnp.maximum(out, s)
+        return out
+
+    def fwd(t):
+        return pool(t), t
+
+    def bwd(t, g):
+        _, vjp = jax.vjp(ref_pool, t)
+        return vjp(g)
+
+    pool.defvjp(fwd, bwd)
+    return pool(x)
+
+
 def downsample_pool(x: jax.Array, factor: tp.Union[int, tuple] = 2,
                     op: str = "max") -> jax.Array:
     """MaxPooling / AveragePooling with window == stride (Keras semantics)."""
@@ -176,6 +227,8 @@ def downsample_pool(x: jax.Array, factor: tp.Union[int, tuple] = 2,
     f = _tup(factor, n)
     window = (1, *f, 1)
     if op == "max":
+        if os.environ.get("TPUSEG_POOL_IMPL", "") == "slicemax":
+            return _slicemax_pool(x, f)
         return jax.lax.reduce_window(
             x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
             jax.lax.max, window, window, "VALID")
