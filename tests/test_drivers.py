@@ -103,8 +103,9 @@ def test_cli_module_entry(tmp_path):
     proc = subprocess.run(
         [_sys.executable, "-m",
          "tf_1d_2d_segmentation_end2endpipelines_tpu", "train", str(ini)],
-        capture_output=True, text=True, timeout=600,  # fresh-process
+        capture_output=True, text=True, timeout=900,  # fresh-process
         # compile takes ~70s alone but >300s under full-sweep CPU load
+        # (observed 600s exceeded when another compile shares the core)
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]

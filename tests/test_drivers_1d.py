@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from tf_1d_2d_segmentation_end2endpipelines_tpu.data import (
     save_pt, synthetic_signals)
@@ -78,3 +79,70 @@ def test_summary_1d(tmp_path, capsys):
     assert info["params"] > 0
     assert info["outputs"]["out"] == (1, 64, 1)
     assert "Trainable params" in capsys.readouterr().out
+
+
+def test_batches_reshuffle_per_epoch():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data import batches
+    x = np.arange(32, dtype=np.float32).reshape(32, 1, 1)
+    it = batches(x, x, 8, shuffle=True, seed=0)
+    e1 = np.concatenate([bx for bx, _ in it()]).ravel()
+    e2 = np.concatenate([bx for bx, _ in it()]).ravel()
+    assert not np.array_equal(e1, e2)  # fresh order per epoch
+    # a NEW factory with the same seed reproduces epoch 1 (determinism
+    # across separately-built loaders, e.g. mesh-size comparisons)
+    it2 = batches(x, x, 8, shuffle=True, seed=0)
+    assert np.array_equal(
+        e1, np.concatenate([bx for bx, _ in it2()]).ravel())
+
+
+def test_train_1d_smaller_than_batch(tmp_path):
+    # len(train)=6 < batch_size=8 must still train (partial batches kept),
+    # not silently run 0 steps/epoch
+    cfg = _make_cfg(tmp_path, batch_size=8)
+    x, y = synthetic_signals(6, length=64)
+    save_pt({"samples": x, "labels": np.abs(y)},
+            str(tmp_path / "Train_Set.pt"))
+    hist = train_1d(config=cfg)
+    assert len(hist["loss"]) == 2 and np.isfinite(hist["loss"][0])
+
+
+def test_test_1d_zero_energy_window(tmp_path):
+    # one all-off window (sum(ground)=0) must not poison EA with inf
+    cfg = _make_cfg(tmp_path)
+    x, y = synthetic_signals(4, length=64)
+    y = np.abs(y)
+    y[0] = 0.0
+    save_pt({"samples": x, "labels": y}, str(tmp_path / "Test_Set.pt"))
+    train_1d(config=cfg)
+    metrics = run_test_1d(config=cfg)
+    assert np.isfinite(metrics["EA"]) and np.isfinite(metrics["SAE"])
+
+
+def test_train_1d_missing_val_set_warns(tmp_path, capsys):
+    cfg = _make_cfg(tmp_path, val_set=str(tmp_path / "nope.pt"),
+                    monitor_param="val_loss")
+    train_1d(config=cfg)
+    assert "WARNING: val_set" in capsys.readouterr().out
+
+
+def test_selector_1d_near_miss_names_raise():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+        model_selector_1d)
+    for bad in ("TernausNet14", "AlbUNetXL", "NotALinkNet", "LinkNetX"):
+        with pytest.raises(ValueError, match="unknown 1D architecture"):
+            model_selector_1d(bad, 32, 2, 1, 4, 3)
+
+
+def test_config_t_reaches_recurrent_blocks(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        _build_model_1d)
+    x = jnp.ones((1, 32, 1))
+    outs = []
+    for t in (1, 3):
+        cfg = _make_cfg(tmp_path, model_name="R2UNet", d_s=0, t=t)
+        m = _build_model_1d(cfg)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs.append(jax.jit(lambda v, x, m=m: m.apply(v, x))(v, x)["out"])
+    assert not jnp.allclose(outs[0], outs[1])

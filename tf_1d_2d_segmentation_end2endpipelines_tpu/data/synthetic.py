@@ -58,13 +58,20 @@ def synthetic_images(num: int, size: int = 256, channels: int = 3,
 
 def batches(x: np.ndarray, y, batch_size: int, shuffle: bool = True,
             seed: int = 0, drop_remainder: bool = True):
-    """Host batch iterator factory (returns a reusable callable)."""
+    """Host batch iterator factory (returns a reusable callable).
+
+    Each call reshuffles with ``seed + call_index`` (deterministic per
+    run, fresh order per epoch — matching ``PrefetchLoader``'s
+    seed-plus-epoch scheme and Keras ``fit(shuffle=True)``)."""
+    import itertools
+
     n = x.shape[0]
+    epoch = itertools.count()
 
     def it():
         idx = np.arange(n)
         if shuffle:
-            np.random.default_rng(seed).shuffle(idx)
+            np.random.default_rng(seed + next(epoch)).shuffle(idx)
         stop = n - (n % batch_size) if drop_remainder else n
         for s in range(0, stop, batch_size):
             sel = idx[s:s + batch_size]

@@ -413,18 +413,12 @@ def test(config_path: str = "Test_Configs.ini",
     return reports
 
 
-def summary(config_path: str = "Train_Configs.ini",
-            config: tp.Optional[TrainConfig] = None) -> tp.Dict[str, tp.Any]:
-    """Model summary from a train config (the reference prints Keras
-    ``model.summary()`` + param counts, Train.py:354-359): parameter
-    count, per-collection breakdown, and output heads/shapes."""
+def summarize_model(model, sample, name: str) -> tp.Dict[str, tp.Any]:
+    """Parameter/output summary via abstract shapes only (eval_shape —
+    no compile).  Shared by the 2D ``summary`` and 1D ``summary1d``
+    verbs."""
     import jax
-    import jax.numpy as jnp_
 
-    cfg = config if config is not None else load_train_config(config_path)
-    model = _build_model(cfg)
-    sample = jnp_.zeros((1, cfg.imlength, cfg.imwidth, cfg.num_channels),
-                        jnp_.float32)
     def _build():
         v = model.init(jax.random.PRNGKey(0), sample, train=False)
         return v, model.apply(v, sample, train=False)
@@ -435,7 +429,7 @@ def summary(config_path: str = "Train_Configs.ini",
     n_stats = sum(int(np.prod(l.shape))
                   for l in jax.tree.leaves(variables.get("batch_stats", {})))
     info = {
-        "model": f"{cfg.encoder_name}_{cfg.decoder_name}",
+        "model": name,
         "params": n_params,
         "batch_stats": n_stats,
         "outputs": {k: tuple(v.shape) for k, v in outputs.items()},
@@ -446,6 +440,19 @@ def summary(config_path: str = "Train_Configs.ini",
     for k, shape in sorted(info["outputs"].items()):
         print(f"  output {k}: {shape}")
     return info
+
+
+def summary(config_path: str = "Train_Configs.ini",
+            config: tp.Optional[TrainConfig] = None) -> tp.Dict[str, tp.Any]:
+    """Model summary from a train config (the reference prints Keras
+    ``model.summary()`` + param counts, Train.py:354-359): parameter
+    count, per-collection breakdown, and output heads/shapes."""
+    cfg = config if config is not None else load_train_config(config_path)
+    model = _build_model(cfg)
+    sample = jnp.zeros((1, cfg.imlength, cfg.imwidth, cfg.num_channels),
+                       jnp.float32)
+    return summarize_model(model, sample,
+                           f"{cfg.encoder_name}_{cfg.decoder_name}")
 
 
 def export(config_path: str = "Train_Configs.ini",

@@ -35,6 +35,7 @@ from .eval import (
     construction_error,
     plot_history,
 )
+from .drivers import _resolve_dtype, summarize_model
 from .models import model_selector_1d
 from .train import (
     CheckpointManager,
@@ -47,19 +48,6 @@ from .utils.config import (Signal1DConfig, load_signal_config,
                            save_signal_config)
 
 
-def _resolve_dtype_1d(cfg: Signal1DConfig, dtype):
-    import jax.numpy as jnp
-    if dtype is not None:
-        return dtype
-    name = getattr(cfg, "compute_dtype", "float32").strip().lower()
-    if name in ("", "float32", "f32"):
-        return jnp.float32
-    if name in ("bfloat16", "bf16"):
-        return jnp.bfloat16
-    raise ValueError(f"unknown compute_dtype {name!r} "
-                     "(expected float32 or bfloat16)")
-
-
 def _build_model_1d(cfg: Signal1DConfig, dtype=None):
     return model_selector_1d(
         cfg.model_name, cfg.signal_length, cfg.model_depth,
@@ -70,7 +58,8 @@ def _build_model_1d(cfg: Signal1DConfig, dtype=None):
         feature_number=cfg.feature_number, is_transconv=cfg.is_transconv,
         cardinality=cfg.cardinality, pooling_type=cfg.pooling_type,
         se_ratio=cfg.se_ratio, block_size=cfg.block_size,
-        keep_prob=cfg.keep_prob, dtype=_resolve_dtype_1d(cfg, dtype))
+        t=cfg.t, keep_prob=cfg.keep_prob,
+        dtype=_resolve_dtype(cfg, dtype))
 
 
 def _wrap_targets_1d(y: np.ndarray, cfg: Signal1DConfig):
@@ -97,11 +86,21 @@ def train_1d(config_path: str = "Signal_Configs.ini",
     x, y = load_signal_dataset(cfg.train_set, cfg.x_key, cfg.y_key)
     targets = _wrap_targets_1d(y, cfg)
 
+    if len(x) == 0:
+        raise ValueError(f"empty training set {cfg.train_set!r}")
     val_data = None
-    if cfg.val_set and os.path.exists(cfg.val_set):
-        xv, yv = load_signal_dataset(cfg.val_set, cfg.x_key, cfg.y_key)
-        val_data = batches(xv, _wrap_targets_1d(yv, cfg), cfg.batch_size,
-                           shuffle=False, drop_remainder=False)
+    if cfg.val_set:
+        if os.path.exists(cfg.val_set):
+            xv, yv = load_signal_dataset(cfg.val_set, cfg.x_key, cfg.y_key)
+            val_data = batches(xv, _wrap_targets_1d(yv, cfg),
+                               cfg.batch_size, shuffle=False,
+                               drop_remainder=False)
+        else:
+            # otherwise the monitor silently falls back to train loss and
+            # the "best" checkpoint is train-loss-selected
+            print(f"WARNING: val_set {cfg.val_set!r} does not exist; "
+                  "training without validation (monitor falls back to "
+                  "train loss)", flush=True)
 
     model = _build_model_1d(cfg, dtype=dtype)
     trainer = Trainer(
@@ -116,15 +115,18 @@ def train_1d(config_path: str = "Signal_Configs.ini",
     )
     trainer.init_state(x[: min(len(x), cfg.batch_size)])
 
-    ckpt = CheckpointManager(cfg.save_dir)
-    if cfg.load_weights and ckpt.exists("best"):
+    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    if ckpt is not None and cfg.load_weights and ckpt.exists("best"):
         trainer.state = ckpt.restore(trainer.state, "best")
         print(f"resumed from {cfg.save_dir}/best", flush=True)
     monitor = cfg.monitor_param
     if monitor.startswith("val_") and val_data is None:
         monitor = monitor[len("val_"):] or "loss"
     history = trainer.fit(
-        batches(x, targets, cfg.batch_size, shuffle=True, seed=cfg.seed),
+        # keep partial batches: dropping the remainder would silently
+        # train 0 steps/epoch whenever len(x) < batch_size
+        batches(x, targets, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                drop_remainder=False),
         val_data=val_data,
         epochs=cfg.num_epochs,
         callbacks=[
@@ -151,36 +153,13 @@ def summary_1d(config_path: str = "Signal_Configs.ini",
                ) -> tp.Dict[str, tp.Any]:
     """Model summary from a signal config (abstract shapes only — no
     compile; mirrors ``drivers.summary`` for the 1D zoo)."""
-    import jax
     import jax.numpy as jnp
 
     cfg = config if config is not None else load_signal_config(config_path)
     model = _build_model_1d(cfg)
     sample = jnp.zeros((1, cfg.signal_length, cfg.num_channel),
                        jnp.float32)
-
-    def _build():
-        v = model.init(jax.random.PRNGKey(0), sample, train=False)
-        return v, model.apply(v, sample, train=False)
-
-    variables, outputs = jax.eval_shape(_build)
-    n_params = sum(int(np.prod(l.shape))
-                   for l in jax.tree.leaves(variables.get("params", {})))
-    n_stats = sum(int(np.prod(l.shape))
-                  for l in jax.tree.leaves(variables.get("batch_stats",
-                                                         {})))
-    info = {
-        "model": cfg.model_name,
-        "params": n_params,
-        "batch_stats": n_stats,
-        "outputs": {k: tuple(v.shape) for k, v in outputs.items()},
-    }
-    print(f"Model: {info['model']}")
-    print(f"Trainable params:     {n_params:,}")
-    print(f"BatchNorm statistics: {n_stats:,}")
-    for k, shape in sorted(info["outputs"].items()):
-        print(f"  output {k}: {shape}")
-    return info
+    return summarize_model(model, sample, cfg.model_name)
 
 
 def test_1d(config_path: str = "Signal_Configs.ini",
@@ -195,8 +174,8 @@ def test_1d(config_path: str = "Signal_Configs.ini",
     model = _build_model_1d(cfg, dtype=dtype)
     trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
     trainer.init_state(x[: min(len(x), cfg.batch_size)])
-    ckpt = CheckpointManager(cfg.save_dir)
-    restored = ckpt.exists("best")
+    ckpt = (CheckpointManager(cfg.save_dir) if cfg.save_dir else None)
+    restored = ckpt is not None and ckpt.exists("best")
     if restored:
         trainer.state = ckpt.restore(trainer.state, "best")
     else:
@@ -209,13 +188,17 @@ def test_1d(config_path: str = "Signal_Configs.ini",
     pred = np.concatenate(preds, axis=0)
 
     metrics: tp.Dict[str, tp.Any] = dict(construction_error(y, pred))
-    # SAE/EA divide by sum(ground): the notebook evaluates nonnegative
-    # power signals (cells 54-57); shift both sides as it does when the
-    # data can cross zero is the caller's choice — raw here, faithfully
-    gsum = float(np.sum(y))
-    if gsum > 0:
-        metrics["SAE"] = calculate_sae(y, pred)
-        metrics["EA"] = calculate_ea(y, pred)
+    # SAE/EA divide by sum(ground) — the notebook evaluates nonnegative
+    # power signals (cells 54-57).  Per-sample EA divides by EACH
+    # window's own sum (eval/nilm.py:56), so all-off windows (sum 0)
+    # would poison the mean with inf; restrict both to windows with
+    # positive ground energy and keep the keys present (None) otherwise
+    pos = y.reshape(len(y), -1).sum(axis=1) > 0
+    if pos.any():
+        metrics["SAE"] = calculate_sae(y[pos], pred[pos])
+        metrics["EA"] = calculate_ea(y[pos], pred[pos])
+    else:
+        metrics["SAE"] = metrics["EA"] = None
     metrics["JEOI"] = calculate_jeoi(y, pred)
     metrics["DEOI"] = calculate_deoi(y, pred)
     metrics["restored_checkpoint"] = bool(restored)

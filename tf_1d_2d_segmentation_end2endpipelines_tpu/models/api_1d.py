@@ -368,18 +368,20 @@ def model_selector_1d(arch: str, length: int, model_depth: int,
             problem_type=problem_type, output_nums=output_nums, ds=ds,
             ae=ae, ag=ag, feature_number=feature_number,
             dtype=dtype).Dense_Inception_UNet()
-    if arch.startswith("TernausNet"):
+    if arch in ("TernausNet11", "TernausNet13", "TernausNet16",
+                "TernausNet19"):
         return getattr(TernausNet(
             length, num_channel, model_width, ds=ds, ae=ae, ag=ag,
             problem_type=problem_type, output_nums=output_nums,
             feature_number=feature_number, is_transconv=is_transconv,
             dtype=dtype), arch)()
-    if arch.startswith("AlbUNet"):
+    if arch in ("AlbUNet18", "AlbUNet34", "AlbUNet50", "AlbUNet101",
+                "AlbUNet152"):
         return getattr(AlbUNet(
             length, num_channel, model_width, ds=ds, ae=ae, ag=ag,
             problem_type=problem_type, output_nums=output_nums,
             feature_number=feature_number, dtype=dtype), arch)()
-    if "LinkNet" in arch:
+    if arch in LinkNet._NAMES:
         return getattr(LinkNet(
             length, model_depth, num_channel, model_width, kernel_size,
             problem_type=problem_type, output_nums=output_nums, ds=ds,
@@ -394,4 +396,8 @@ def model_selector_1d(arch: str, length: int, model_depth: int,
                    is_transconv=is_transconv, dtype=dtype).FPN()
     raise ValueError(
         f"unknown 1D architecture {arch!r}; expected one of "
-        f"{sorted(_ARCHS)} or a special-family method name")
+        f"{sorted(_ARCHS)} or a special-family method name "
+        "(BCDUNet/SEDUNet/IBAUNet/NABNet, MLMRSNet/MLMRSNet_V2/LDNet, "
+        "SAUNet/SAMultiResUNet/SelfSAUNet, Dense_Inception_UNet, "
+        "TernausNet{11,13,16,19}, AlbUNet{18,34,50,101,152}, "
+        "LinkNet{,E,P,PP}/MultiResLinkNet, FPN)")

@@ -168,6 +168,7 @@ class Signal1DConfig:
     lstm: int = 0
     alpha: float = 1.0
     q_onn: int = 3
+    t: int = 2          # recurrent iterations (RUNet/R2UNet families)
     dense_loop: int = 2
     feature_number: int = 1024
     is_transconv: bool = True
