@@ -146,3 +146,28 @@ def test_config_t_reaches_recurrent_blocks(tmp_path):
         v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         outs.append(jax.jit(lambda v, x, m=m: m.apply(v, x))(v, x)["out"])
     assert not jnp.allclose(outs[0], outs[1])
+
+
+def test_export_1d_roundtrip(tmp_path):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        export_1d)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        load_exported)
+    cfg = _make_cfg(tmp_path, d_s=0)
+    train_1d(config=cfg)
+    out = str(tmp_path / "model_1d.stablehlo")
+    export_1d(config=cfg, out_path=out, batch=2)
+    fn = load_exported(out)
+    assert fn.input_shape == (2, 64, 1)
+    x = np.random.default_rng(3).normal(size=(2, 64, 1)).astype(np.float32)
+    # the artifact must reproduce the in-framework prediction
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        _build_model_1d)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        CheckpointManager, Trainer)
+    model = _build_model_1d(cfg)
+    tr = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    tr.init_state(x)
+    tr.state = CheckpointManager(cfg.save_dir).restore(tr.state, "best")
+    ref = tr.predict(x)["out"]
+    np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=1e-5)

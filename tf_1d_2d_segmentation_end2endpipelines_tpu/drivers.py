@@ -578,6 +578,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_s1d = sub.add_parser("summary1d", help="param/output summary for a "
                            "[SIGNAL1D] config (abstract shapes, no compile)")
     p_s1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_x1d = sub.add_parser(
+        "export1d", help="AOT-export the trained 1D checkpoint as a "
+        "portable StableHLO artifact (reloads with jax alone)")
+    p_x1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_x1d.add_argument("--out", default="model_1d.stablehlo")
+    p_x1d.add_argument("--batch", type=int, default=1)
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_srv = sub.add_parser("serve")
@@ -636,6 +642,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "summary1d":
         from .drivers_1d import summary_1d
         summary_1d(args.config)
+    elif args.cmd == "export1d":
+        from .drivers_1d import export_1d
+        export_1d(args.config, out_path=args.out, batch=args.batch)
     elif args.cmd == "summary":
         summary(args.config)
     elif args.cmd == "serve":

@@ -162,6 +162,31 @@ def summary_1d(config_path: str = "Signal_Configs.ini",
     return summarize_model(model, sample, cfg.model_name)
 
 
+def export_1d(config_path: str = "Signal_Configs.ini",
+              config: tp.Optional[Signal1DConfig] = None,
+              out_path: str = "model_1d.stablehlo", batch: int = 1,
+              dtype=None) -> str:
+    """AOT-export the trained 1D checkpoint as a portable StableHLO
+    inference artifact (same contract as the 2D ``export`` verb: weights
+    baked in, reloads with jax alone via ``serve.load_exported``)."""
+    from .serve import export_model
+
+    cfg = config if config is not None else load_signal_config(config_path)
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(np.zeros((1, cfg.signal_length, cfg.num_channel),
+                                np.float32))
+    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    if ckpt is not None and ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
+              "exporting freshly initialized weights", flush=True)
+    return export_model(
+        model, trainer.state,
+        (batch, cfg.signal_length, cfg.num_channel), out_path)
+
+
 def test_1d(config_path: str = "Signal_Configs.ini",
             config: tp.Optional[Signal1DConfig] = None,
             dtype=None) -> tp.Dict[str, tp.Any]:
