@@ -307,3 +307,65 @@ def test_dp_loss_identical_across_mesh_sizes():
         _, loss, _ = step(state, b["x"], b["y"], ())
         losses.append(float(loss))
     np.testing.assert_allclose(losses, losses[0], rtol=1e-6, atol=1e-7)
+
+
+def test_driver_model_parallel_ini(tmp_path):
+    """INI-level tensor parallelism: `model_parallel=2` must train through
+    the plain driver with kernels channel-sharded over 'model' and match
+    the pure-dp loss curve."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (
+        train as run_train)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+        TrainConfig)
+
+    root = tmp_path / "Data" / "Train"
+    rng = np.random.default_rng(0)
+    for sub in ("images", "masks"):
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(4):
+        img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        msk = np.zeros((32, 32), np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(root / "images" / f"{i}.png")
+        Image.fromarray(msk).save(root / "masks" / f"{i}.png")
+
+    def cfg(mp, save):
+        return TrainConfig(
+            train_dir=str(root), independent_val_set=False,
+            imlength=32, imwidth=32, model_width=4, model_depth=2,
+            decoder_name="UNet", batch_size=4, num_epochs=2,
+            learning_rate=1e-3, monitor_param="loss",
+            save_dir=str(tmp_path / save), load_weights=False,
+            model_parallel=mp)
+
+    h_dp = run_train(config=cfg(1, "R1"))[1]["loss"]
+    h_tp = run_train(config=cfg(2, "R2"))[1]["loss"]
+    np.testing.assert_allclose(h_tp, h_dp, rtol=0, atol=1e-5)
+
+
+def test_trainer_tp_state_sharding_applied():
+    """With a model axis > 1, _ensure_state_placement must shard conv
+    kernels over 'model' (not replicate them)."""
+    import numpy as np
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import UNet1D
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.parallel import (
+        make_mesh)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
+
+    model = getattr(UNet1D(32, 2, 1, 4, 3, ds=0), "UNet")()
+    tr = Trainer(model, loss="MeanSquaredError", mesh=make_mesh(model=2))
+    tr.init_state(np.zeros((2, 32, 1), np.float32))
+    tr._ensure_state_placement()
+    import jax
+    flat = jax.tree_util.tree_flatten_with_path(tr.state.params)[0]
+    kernel_specs = [
+        leaf.sharding.spec for path, leaf in flat
+        if str(path[-1].key) == "kernel" and leaf.shape[-1] % 2 == 0]
+    assert kernel_specs and any(
+        "model" in str(spec) for spec in kernel_specs)

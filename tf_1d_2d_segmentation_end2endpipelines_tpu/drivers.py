@@ -198,6 +198,10 @@ def train(config_path: str = "Train_Configs.ini",
                 f"accumulation_steps={cfg.accumulation_steps}")
         loss_weights = (default_ds_weights(cfg.model_depth)
                         if cfg.d_s == 1 else None)
+        mesh = None
+        if getattr(cfg, "model_parallel", 1) > 1:
+            from .parallel import make_mesh
+            mesh = make_mesh(model=cfg.model_parallel)
         trainer = Trainer(
             model,
             loss=cfg.loss_function,
@@ -206,6 +210,7 @@ def train(config_path: str = "Train_Configs.ini",
             metrics=tuple(cfg.metric_list),
             loss_weights=loss_weights,
             num_classes=max(cfg.class_number + 1, 2),
+            mesh=mesh,
             seed=cfg.seed,
             remat=cfg.remat or None,
             accum_steps=cfg.accumulation_steps,

@@ -103,6 +103,10 @@ def train_1d(config_path: str = "Signal_Configs.ini",
                   "train loss)", flush=True)
 
     model = _build_model_1d(cfg, dtype=dtype)
+    mesh = None
+    if getattr(cfg, "model_parallel", 1) > 1:
+        from .parallel import make_mesh
+        mesh = make_mesh(model=cfg.model_parallel)
     trainer = Trainer(
         model,
         loss=cfg.loss_function,
@@ -111,6 +115,7 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         metrics=tuple(cfg.metric_list),
         loss_weights=(default_ds_weights(cfg.model_depth)
                       if cfg.d_s == 1 else None),
+        mesh=mesh,
         seed=cfg.seed,
     )
     trainer.init_state(x[: min(len(x), cfg.batch_size)])

@@ -91,11 +91,20 @@ class Trainer:
             self._rep_sharding = rep
 
     def _ensure_state_placement(self):
-        """Replicate the state over the mesh (restored checkpoints arrive
+        """Place the state over the mesh (restored checkpoints arrive
         committed to a single device, which conflicts with sharded
-        batches)."""
+        batches): replicated for a pure-dp mesh; on a mesh with a
+        'model' axis > 1, conv kernels (and their optimizer moments)
+        shard their output-channel axis over 'model'
+        (parallel.state_shardings) — tensor parallelism through the
+        plain Trainer/driver surface."""
         import jax as _jax
-        self.state = _jax.device_put(self.state, replicated(self.mesh))
+        if self.mesh.shape.get("model", 1) > 1:
+            from ..parallel import state_shardings
+            self.state = _jax.device_put(
+                self.state, state_shardings(self.mesh, self.state))
+        else:
+            self.state = _jax.device_put(self.state, replicated(self.mesh))
 
     def _metric_init(self):
         return tuple(m.init() for m in self.metric_defs)

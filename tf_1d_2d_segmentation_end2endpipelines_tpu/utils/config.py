@@ -85,6 +85,11 @@ class TrainConfig:
     # (only batch_size/steps examples are live at once); composes with
     # remat.  See train.state.make_train_step.
     accumulation_steps: int = 1
+    # tensor parallelism: size of the mesh 'model' axis.  Conv kernels
+    # shard their output-channel axis over 'model'
+    # (parallel.sharding_rules); devices must be divisible.  1 = pure
+    # data parallelism over all devices (the default)
+    model_parallel: int = 1
     # on-the-fly training augmentation (flips/rot90/shift-scale-rotate/
     # brightness via data.generators.augment_pair — the reference instead
     # pre-writes augmented copies offline, helper_functions.py:480-501;
@@ -195,6 +200,7 @@ class Signal1DConfig:
     save_dir: str = "Results_1D"
     seed: int = 1
     compute_dtype: str = "float32"
+    model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
 
 
 _T = tp.TypeVar("_T")
