@@ -207,3 +207,59 @@ def test_dynamic_batcher_close_and_timeout_semantics():
     finally:
         stall.set()
         batcher2.close()
+
+
+def test_http_server_1d_predict(tmp_path):
+    """1D serving: JSON and raw-float32 signals in, JSON predictions out;
+    bad payloads get 400."""
+    import urllib.error
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        make_server_1d)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+        Signal1DConfig)
+
+    cfg = Signal1DConfig(signal_length=32, num_channel=1,
+                         model_name="UNet", model_depth=2, model_width=4,
+                         d_s=0, save_dir=str(tmp_path / "none"))
+    server = make_server_1d(cfg, port=0, max_batch=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        assert urllib.request.urlopen(base + "/healthz").read() == b"ok"
+        info = json.loads(urllib.request.urlopen(base + "/info").read())
+        assert info["input_size"] == [32, 1]
+
+        sig = np.random.default_rng(5).normal(size=(32,)).astype(
+            np.float32)
+        req = urllib.request.Request(
+            base + "/predict", data=json.dumps(
+                {"signal": sig.tolist()}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out_json = np.asarray(
+            json.loads(urllib.request.urlopen(req).read())["output"],
+            np.float32)
+        assert out_json.shape == (32, 1)
+
+        # raw float32 body must give the same answer
+        req = urllib.request.Request(
+            base + "/predict", data=sig.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        out_raw = np.asarray(
+            json.loads(urllib.request.urlopen(req).read())["output"],
+            np.float32)
+        np.testing.assert_allclose(out_raw, out_json, atol=1e-6)
+
+        bad = urllib.request.Request(base + "/predict",
+                                     data=b"\x00\x01\x02",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad)
+        assert exc.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+        if server.batcher is not None:
+            server.batcher.close()

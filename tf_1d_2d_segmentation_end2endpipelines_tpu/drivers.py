@@ -589,6 +589,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_x1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
     p_x1d.add_argument("--out", default="model_1d.stablehlo")
     p_x1d.add_argument("--batch", type=int, default=1)
+    p_v1d = sub.add_parser(
+        "serve1d", help="HTTP serving for a trained 1D model (JSON or "
+        "raw-float32 signals in, JSON predictions out)")
+    p_v1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_v1d.add_argument("--host", default="127.0.0.1")
+    p_v1d.add_argument("--port", type=int, default=8000)
+    p_v1d.add_argument("--max-batch", type=int, default=1)
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_srv = sub.add_parser("serve")
@@ -650,6 +657,10 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "export1d":
         from .drivers_1d import export_1d
         export_1d(args.config, out_path=args.out, batch=args.batch)
+    elif args.cmd == "serve1d":
+        from .serve import serve_1d
+        serve_1d(args.config, host=args.host, port=args.port,
+                 max_batch=args.max_batch)
     elif args.cmd == "summary":
         summary(args.config)
     elif args.cmd == "serve":

@@ -359,6 +359,138 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
     return server
 
 
+def _decode_signal_request(body: bytes, ctype: str, length: int,
+                           channels: int) -> np.ndarray:
+    """Decode one 1D inference request.
+
+    - ``application/json``: ``{"signal": [...]}`` or a bare list —
+      shape (L,) or (L, C)
+    - anything else: raw little-endian float32 of exactly L*C values
+    """
+    if "json" in (ctype or ""):
+        obj = json.loads(body)
+        if isinstance(obj, dict):
+            obj = obj.get("signal")
+        arr = np.asarray(obj, np.float32)
+    else:
+        arr = np.frombuffer(body, "<f4").astype(np.float32)
+    if arr.ndim == 1:
+        if arr.size != length * channels:
+            raise ValueError(f"expected {length * channels} float32 "
+                             f"values, got {arr.size}")
+        arr = arr.reshape(length, channels)
+    if arr.shape != (length, channels):
+        raise ValueError(f"expected signal of shape ({length}, "
+                         f"{channels}), got {tuple(arr.shape)}")
+    return arr
+
+
+def make_server_1d(cfg, host: str = "127.0.0.1", port: int = 8000,
+                   max_batch: int = 1, dtype=None):
+    """HTTP server for 1D signal models (the 1D analog of
+    :func:`make_server`; the reference's 1D flow has no serving story at
+    all).  Routes:
+
+      - ``GET  /healthz``  -> 200 ``ok``
+      - ``GET  /info``     -> model/config JSON
+      - ``POST /predict``  -> body = JSON ``{"signal": [...]}``
+        (or raw float32), response = JSON ``{"output": [[...], ...]}``
+        — the regression output (Classification: softmax probs)
+    """
+    import http.server
+
+    from .drivers import _resolve_dtype
+    from .drivers_1d import _build_model_1d
+    from .train import CheckpointManager, Trainer
+
+    dtype = _resolve_dtype(cfg, dtype)
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(np.zeros((1, cfg.signal_length, cfg.num_channel),
+                                np.float32))
+    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    if ckpt is not None and ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
+              "serving freshly initialized weights", flush=True)
+    predictor = Predictor(model, trainer.state,
+                          (cfg.signal_length, cfg.num_channel),
+                          max_batch=max_batch, dtype=dtype)
+    batcher = DynamicBatcher(predictor) if max_batch > 1 else None
+    info = {
+        "model": cfg.model_name,
+        "input_size": [cfg.signal_length, cfg.num_channel],
+        "problem_type": cfg.problem_type,
+        "output_nums": cfg.output_nums,
+        "max_batch": max_batch,
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/info":
+                self._send(200, json.dumps(info).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                self._send(404, b"not found", "text/plain")
+                return
+            try:  # client errors (undecodable signal) -> 400
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                x = _decode_signal_request(
+                    body, self.headers.get("Content-Type", ""),
+                    cfg.signal_length, cfg.num_channel)
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._send(400, f"error: {e}".encode(), "text/plain")
+                return
+            try:  # server-side faults -> 500
+                pred = (batcher.predict(x) if batcher is not None
+                        else predictor(x[None])[0])
+                self._send(200, json.dumps(
+                    {"output": np.asarray(pred, np.float64).tolist()}
+                ).encode(), "application/json")
+            except Exception as e:  # noqa: BLE001
+                self._send(500, f"error: {e}".encode(), "text/plain")
+
+    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    return server
+
+
+def serve_1d(config_path: str = "Signal_Configs.ini",
+             host: str = "127.0.0.1", port: int = 8000,
+             max_batch: int = 1) -> None:
+    """CLI entry: load the persisted signal config + checkpoint and serve
+    forever."""
+    from .utils.config import load_signal_config
+
+    cfg = load_signal_config(config_path)
+    server = make_server_1d(cfg, host=host, port=port, max_batch=max_batch)
+    print(f"tpuseg serving 1D {cfg.model_name} on "
+          f"http://{host}:{server.server_address[1]}  (POST /predict)",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
 def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
           port: int = 8000, fold: int = 1, max_batch: int = 1,
           threshold: float = 0.5) -> None:
