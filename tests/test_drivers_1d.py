@@ -171,3 +171,18 @@ def test_export_1d_roundtrip(tmp_path):
     tr.state = CheckpointManager(cfg.save_dir).restore(tr.state, "best")
     ref = tr.predict(x)["out"]
     np.testing.assert_allclose(np.asarray(fn(x)), ref, atol=1e-5)
+
+
+def test_predict_1d_unlabeled(tmp_path):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        predict_1d)
+    cfg = _make_cfg(tmp_path, d_s=0)
+    train_1d(config=cfg)
+    # an UNLABELED container: samples only
+    x, _ = synthetic_signals(5, length=64, seed=7)
+    save_pt({"samples": x}, str(tmp_path / "Unlabeled.pt"))
+    out = predict_1d(config=cfg,
+                     input_path=str(tmp_path / "Unlabeled.pt"),
+                     out_path=str(tmp_path / "preds.npz"))
+    arrays = np.load(out)
+    assert arrays["output"].shape == (5, 64, 1)

@@ -596,6 +596,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_v1d.add_argument("--host", default="127.0.0.1")
     p_v1d.add_argument("--port", type=int, default=8000)
     p_v1d.add_argument("--max-batch", type=int, default=1)
+    p_p1d = sub.add_parser(
+        "predict1d", help="pure inference on unlabeled .pt signals "
+        "(writes an .npz of predictions)")
+    p_p1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_p1d.add_argument("--input", default=None,
+                       help="input .pt (defaults to the config test_set)")
+    p_p1d.add_argument("--out", default="predictions_1d.npz")
     p_sum = sub.add_parser("summary")
     p_sum.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_srv = sub.add_parser("serve")
@@ -661,6 +668,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         from .serve import serve_1d
         serve_1d(args.config, host=args.host, port=args.port,
                  max_batch=args.max_batch)
+    elif args.cmd == "predict1d":
+        from .drivers_1d import predict_1d
+        predict_1d(args.config, input_path=args.input, out_path=args.out)
     elif args.cmd == "summary":
         summary(args.config)
     elif args.cmd == "serve":

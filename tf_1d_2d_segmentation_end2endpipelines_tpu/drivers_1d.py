@@ -192,6 +192,50 @@ def export_1d(config_path: str = "Signal_Configs.ini",
         (batch, cfg.signal_length, cfg.num_channel), out_path)
 
 
+def predict_1d(config_path: str = "Signal_Configs.ini",
+               config: tp.Optional[Signal1DConfig] = None,
+               input_path: tp.Optional[str] = None,
+               out_path: str = "predictions_1d.npz",
+               dtype=None) -> str:
+    """Pure inference on UNLABELED signals (the 1D analog of the 2D
+    ``predict`` verb; the notebook's evaluation path always needs ground
+    truth).  Reads a .pt container holding only ``x_key`` (labels, if
+    present, are ignored), writes an ``.npz`` with ``output`` (and any
+    DS heads) arrays.  Returns the output path."""
+    from .data.pt_io import load_pt
+
+    cfg = config if config is not None else load_signal_config(config_path)
+    path = input_path or cfg.test_set
+    obj = load_pt(path)
+    if isinstance(obj, dict):
+        x = np.asarray(obj[cfg.x_key], np.float32)
+    else:
+        x = np.asarray(obj, np.float32)
+    if x.ndim == 2:
+        x = x[..., None]
+
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(x[: min(len(x), cfg.batch_size)])
+    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    if ckpt is not None and ckpt.exists("best"):
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
+              "predicting with freshly initialized weights", flush=True)
+
+    chunks: tp.Dict[str, tp.List[np.ndarray]] = {}
+    for start in range(0, len(x), cfg.batch_size):
+        out = trainer.predict(x[start:start + cfg.batch_size])
+        for k, v in out.items():
+            chunks.setdefault(k, []).append(np.asarray(v))
+    arrays = {("output" if k == "out" else k): np.concatenate(v)
+              for k, v in chunks.items()}
+    np.savez(out_path, **arrays)
+    print(f"wrote {len(x)} predictions to {out_path}", flush=True)
+    return out_path
+
+
 def test_1d(config_path: str = "Signal_Configs.ini",
             config: tp.Optional[Signal1DConfig] = None,
             dtype=None) -> tp.Dict[str, tp.Any]:
