@@ -186,3 +186,25 @@ def test_predict_1d_unlabeled(tmp_path):
                      out_path=str(tmp_path / "preds.npz"))
     arrays = np.load(out)
     assert arrays["output"].shape == (5, 64, 1)
+
+
+def test_predict_1d_channel_first_and_empty(tmp_path):
+    """predict_1d must apply the same layout normalization as the other
+    .pt readers — a channel-first (B, C, L) container predicts fine —
+    and an empty container errors instead of writing a garbage .npz."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        predict_1d)
+    cfg = _make_cfg(tmp_path, d_s=0)
+    train_1d(config=cfg)
+    x, _ = synthetic_signals(3, length=64, seed=9)
+    save_pt({"samples": np.moveaxis(x, 2, 1)},  # (B, 1, 64) channel-first
+            str(tmp_path / "CF.pt"))
+    out = predict_1d(config=cfg, input_path=str(tmp_path / "CF.pt"),
+                     out_path=str(tmp_path / "cf.npz"))
+    assert np.load(out)["output"].shape == (3, 64, 1)
+
+    save_pt({"samples": np.zeros((0, 64, 1), np.float32)},
+            str(tmp_path / "Empty.pt"))
+    with pytest.raises(ValueError, match="empty input set"):
+        predict_1d(config=cfg, input_path=str(tmp_path / "Empty.pt"),
+                   out_path=str(tmp_path / "e.npz"))

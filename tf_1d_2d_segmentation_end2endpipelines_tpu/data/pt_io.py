@@ -60,13 +60,31 @@ def load_signal_dataset(path: str, x_key: str = "samples",
         x, y = obj
     else:
         raise ValueError(f"unrecognized .pt container structure in {path}")
+    return normalize_signal_array(x), normalize_signal_array(y)
 
-    def fix(a):
-        a = np.asarray(a, np.float32)
-        if a.ndim == 2:
-            a = a[..., None]
-        elif a.ndim == 3 and a.shape[1] <= 16 < a.shape[2]:
-            a = np.moveaxis(a, 1, 2)  # (B, C, L) -> (B, L, C)
-        return a
 
-    return fix(x), fix(y)
+def normalize_signal_array(a) -> np.ndarray:
+    """The layout convention shared by every .pt reader: channels-last
+    float32 (B, L, C) — a trailing channel axis is added when missing,
+    and channel-first (B, C, L) layouts with small C are moved to
+    channels-last."""
+    a = np.asarray(a, np.float32)
+    if a.ndim == 2:
+        a = a[..., None]
+    elif a.ndim == 3 and a.shape[1] <= 16 < a.shape[2]:
+        a = np.moveaxis(a, 1, 2)  # (B, C, L) -> (B, L, C)
+    return a
+
+
+def load_signal_inputs(path: str, x_key: str = "samples") -> np.ndarray:
+    """Load samples only (for unlabeled inference): accepts a dict (by
+    ``x_key``), an (X, ...) tuple, or a bare stacked array; same layout
+    normalization as :func:`load_signal_dataset`."""
+    obj = load_pt(path)
+    if isinstance(obj, dict):
+        x = obj[x_key]
+    elif isinstance(obj, (list, tuple)) and obj:
+        x = obj[0]
+    else:
+        x = obj
+    return normalize_signal_array(x)

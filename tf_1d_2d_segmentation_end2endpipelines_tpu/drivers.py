@@ -108,6 +108,16 @@ def _restore_trainer(cfg: TrainConfig, ckpt_dir: str, action: str,
     return model, trainer
 
 
+def _training_mesh(cfg):
+    """The mesh the INI requests: None (Trainer's dp-over-all-devices
+    default) unless ``model_parallel`` > 1, which adds the tensor-parallel
+    'model' axis (shared by the 2D and 1D train drivers)."""
+    if getattr(cfg, "model_parallel", 1) > 1:
+        from .parallel import make_mesh
+        return make_mesh(model=cfg.model_parallel)
+    return None
+
+
 def _fold_dir(cfg, fold: int) -> str:
     task = "" if cfg.save_dir is None else cfg.save_dir
     return os.path.join(task, f"Fold_{fold}")
@@ -198,10 +208,7 @@ def train(config_path: str = "Train_Configs.ini",
                 f"accumulation_steps={cfg.accumulation_steps}")
         loss_weights = (default_ds_weights(cfg.model_depth)
                         if cfg.d_s == 1 else None)
-        mesh = None
-        if getattr(cfg, "model_parallel", 1) > 1:
-            from .parallel import make_mesh
-            mesh = make_mesh(model=cfg.model_parallel)
+        mesh = _training_mesh(cfg)
         trainer = Trainer(
             model,
             loss=cfg.loss_function,

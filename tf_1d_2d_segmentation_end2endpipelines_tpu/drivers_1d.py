@@ -71,6 +71,25 @@ def _wrap_targets_1d(y: np.ndarray, cfg: Signal1DConfig):
     return y
 
 
+def _restore_trainer_1d(cfg: Signal1DConfig, action: str, dtype=None):
+    """Build the 1D model + Trainer, init state, restore the 'best'
+    checkpoint under ``cfg.save_dir`` (warn when absent).  Shared by
+    test_1d, export_1d, predict_1d, and the 1D HTTP server (the 1D
+    analog of ``drivers._restore_trainer``)."""
+    model = _build_model_1d(cfg, dtype=dtype)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(np.zeros((1, cfg.signal_length, cfg.num_channel),
+                                np.float32))
+    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    restored = ckpt is not None and ckpt.exists("best")
+    if restored:
+        trainer.state = ckpt.restore(trainer.state, "best")
+    else:
+        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
+              f"{action} freshly initialized weights", flush=True)
+    return model, trainer, restored
+
+
 def train_1d(config_path: str = "Signal_Configs.ini",
              config: tp.Optional[Signal1DConfig] = None,
              dtype=None) -> tp.Dict[str, tp.List[float]]:
@@ -102,11 +121,9 @@ def train_1d(config_path: str = "Signal_Configs.ini",
                   "training without validation (monitor falls back to "
                   "train loss)", flush=True)
 
+    from .drivers import _training_mesh
     model = _build_model_1d(cfg, dtype=dtype)
-    mesh = None
-    if getattr(cfg, "model_parallel", 1) > 1:
-        from .parallel import make_mesh
-        mesh = make_mesh(model=cfg.model_parallel)
+    mesh = _training_mesh(cfg)
     trainer = Trainer(
         model,
         loss=cfg.loss_function,
@@ -177,16 +194,7 @@ def export_1d(config_path: str = "Signal_Configs.ini",
     from .serve import export_model
 
     cfg = config if config is not None else load_signal_config(config_path)
-    model = _build_model_1d(cfg, dtype=dtype)
-    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
-    trainer.init_state(np.zeros((1, cfg.signal_length, cfg.num_channel),
-                                np.float32))
-    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
-    if ckpt is not None and ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
-              "exporting freshly initialized weights", flush=True)
+    model, trainer, _ = _restore_trainer_1d(cfg, "exporting", dtype=dtype)
     return export_model(
         model, trainer.state,
         (batch, cfg.signal_length, cfg.num_channel), out_path)
@@ -202,27 +210,15 @@ def predict_1d(config_path: str = "Signal_Configs.ini",
     truth).  Reads a .pt container holding only ``x_key`` (labels, if
     present, are ignored), writes an ``.npz`` with ``output`` (and any
     DS heads) arrays.  Returns the output path."""
-    from .data.pt_io import load_pt
+    from .data.pt_io import load_signal_inputs
 
     cfg = config if config is not None else load_signal_config(config_path)
     path = input_path or cfg.test_set
-    obj = load_pt(path)
-    if isinstance(obj, dict):
-        x = np.asarray(obj[cfg.x_key], np.float32)
-    else:
-        x = np.asarray(obj, np.float32)
-    if x.ndim == 2:
-        x = x[..., None]
-
-    model = _build_model_1d(cfg, dtype=dtype)
-    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
-    trainer.init_state(x[: min(len(x), cfg.batch_size)])
-    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
-    if ckpt is not None and ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
-              "predicting with freshly initialized weights", flush=True)
+    x = load_signal_inputs(path, cfg.x_key)
+    if len(x) == 0:
+        raise ValueError(f"empty input set {path!r}")
+    _, trainer, _ = _restore_trainer_1d(cfg, "predicting with",
+                                        dtype=dtype)
 
     chunks: tp.Dict[str, tp.List[np.ndarray]] = {}
     for start in range(0, len(x), cfg.batch_size):
@@ -245,16 +241,8 @@ def test_1d(config_path: str = "Signal_Configs.ini",
     cfg = config if config is not None else load_signal_config(config_path)
     x, y = load_signal_dataset(cfg.test_set, cfg.x_key, cfg.y_key)
 
-    model = _build_model_1d(cfg, dtype=dtype)
-    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
-    trainer.init_state(x[: min(len(x), cfg.batch_size)])
-    ckpt = (CheckpointManager(cfg.save_dir) if cfg.save_dir else None)
-    restored = ckpt is not None and ckpt.exists("best")
-    if restored:
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir}; "
-              "evaluating freshly initialized weights", flush=True)
+    _, trainer, restored = _restore_trainer_1d(cfg, "evaluating",
+                                               dtype=dtype)
 
     preds = []
     for s in range(0, len(x), cfg.batch_size):

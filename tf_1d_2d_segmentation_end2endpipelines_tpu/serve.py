@@ -28,7 +28,7 @@ import typing as tp
 import numpy as np
 
 __all__ = ["export_model", "load_exported", "Predictor", "DynamicBatcher",
-           "serve"]
+           "serve", "serve_1d", "make_server", "make_server_1d"]
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +276,57 @@ def _decode_request(body: bytes, size: tp.Tuple[int, int], color_mode: str,
     return arr / nf
 
 
+def _make_handler(info: tp.Dict[str, tp.Any],
+                  decode: tp.Callable[[bytes, tp.Mapping], np.ndarray],
+                  predict_one: tp.Callable[[np.ndarray], np.ndarray],
+                  respond: tp.Callable[[np.ndarray],
+                                       tp.Tuple[bytes, str]]):
+    """The HTTP skeleton shared by the 2D and 1D servers: /healthz,
+    /info, and a POST /predict that maps client decode errors to 400 and
+    server-side faults to 500.  ``decode(body, headers) -> example``;
+    ``respond(pred) -> (body, content_type)``."""
+    import http.server
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/info":
+                self._send(200, json.dumps(info).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                self._send(404, b"not found", "text/plain")
+                return
+            try:  # client errors (undecodable payload) -> 400
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                x = decode(body, self.headers)
+            except Exception as e:  # noqa: BLE001 — serving must not die
+                self._send(400, f"error: {e}".encode(), "text/plain")
+                return
+            try:  # server-side faults (predict/encode) -> 500
+                out_body, ctype = respond(predict_one(x))
+                self._send(200, out_body, ctype)
+            except Exception as e:  # noqa: BLE001
+                self._send(500, f"error: {e}".encode(), "text/plain")
+
+    return Handler
+
+
 def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
                 port: int = 8000, max_batch: int = 1, threshold: float = 0.5,
                 dtype=None):
@@ -313,47 +364,18 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
         "max_batch": max_batch,
     }
 
-    class Handler(http.server.BaseHTTPRequestHandler):
-        def log_message(self, *args):  # quiet by default
-            pass
+    def _respond(pred):
+        label = label_from_pred(pred, train_cfg.class_number, threshold)
+        return _mask_to_png(label, n_fg + 1), "image/png"
 
-        def _send(self, code: int, body: bytes, ctype: str):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, b"ok", "text/plain")
-            elif self.path == "/info":
-                self._send(200, json.dumps(info).encode(),
-                           "application/json")
-            else:
-                self._send(404, b"not found", "text/plain")
-
-        def do_POST(self):
-            if not self.path.startswith("/predict"):
-                self._send(404, b"not found", "text/plain")
-                return
-            try:  # client errors (undecodable image) -> 400
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
-                x = _decode_request(body, size, train_cfg.image_color_mode,
-                                    train_cfg.normalizing_factor_img)
-            except Exception as e:  # noqa: BLE001 — serving must not die
-                self._send(400, f"error: {e}".encode(), "text/plain")
-                return
-            try:  # server-side faults (predict/encode) -> 500
-                pred = (batcher.predict(x) if batcher is not None
-                        else predictor(x[None])[0])
-                label = label_from_pred(pred, train_cfg.class_number,
-                                        threshold)
-                self._send(200, _mask_to_png(label, n_fg + 1), "image/png")
-            except Exception as e:  # noqa: BLE001
-                self._send(500, f"error: {e}".encode(), "text/plain")
-
+    Handler = _make_handler(
+        info,
+        decode=lambda body, headers: _decode_request(
+            body, size, train_cfg.image_color_mode,
+            train_cfg.normalizing_factor_img),
+        predict_one=(batcher.predict if batcher is not None
+                     else lambda x: predictor(x[None])[0]),
+        respond=_respond)
     server = http.server.ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher  # close() on teardown if you own the server
     return server
@@ -400,20 +422,10 @@ def make_server_1d(cfg, host: str = "127.0.0.1", port: int = 8000,
     import http.server
 
     from .drivers import _resolve_dtype
-    from .drivers_1d import _build_model_1d
-    from .train import CheckpointManager, Trainer
+    from .drivers_1d import _restore_trainer_1d
 
     dtype = _resolve_dtype(cfg, dtype)
-    model = _build_model_1d(cfg, dtype=dtype)
-    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
-    trainer.init_state(np.zeros((1, cfg.signal_length, cfg.num_channel),
-                                np.float32))
-    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
-    if ckpt is not None and ckpt.exists("best"):
-        trainer.state = ckpt.restore(trainer.state, "best")
-    else:
-        print(f"WARNING: no 'best' checkpoint under {cfg.save_dir!r}; "
-              "serving freshly initialized weights", flush=True)
+    model, trainer, _ = _restore_trainer_1d(cfg, "serving", dtype=dtype)
     predictor = Predictor(model, trainer.state,
                           (cfg.signal_length, cfg.num_channel),
                           max_batch=max_batch, dtype=dtype)
@@ -426,48 +438,16 @@ def make_server_1d(cfg, host: str = "127.0.0.1", port: int = 8000,
         "max_batch": max_batch,
     }
 
-    class Handler(http.server.BaseHTTPRequestHandler):
-        def log_message(self, *args):
-            pass
-
-        def _send(self, code: int, body: bytes, ctype: str):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, b"ok", "text/plain")
-            elif self.path == "/info":
-                self._send(200, json.dumps(info).encode(),
-                           "application/json")
-            else:
-                self._send(404, b"not found", "text/plain")
-
-        def do_POST(self):
-            if not self.path.startswith("/predict"):
-                self._send(404, b"not found", "text/plain")
-                return
-            try:  # client errors (undecodable signal) -> 400
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
-                x = _decode_signal_request(
-                    body, self.headers.get("Content-Type", ""),
-                    cfg.signal_length, cfg.num_channel)
-            except Exception as e:  # noqa: BLE001 — serving must not die
-                self._send(400, f"error: {e}".encode(), "text/plain")
-                return
-            try:  # server-side faults -> 500
-                pred = (batcher.predict(x) if batcher is not None
-                        else predictor(x[None])[0])
-                self._send(200, json.dumps(
-                    {"output": np.asarray(pred, np.float64).tolist()}
-                ).encode(), "application/json")
-            except Exception as e:  # noqa: BLE001
-                self._send(500, f"error: {e}".encode(), "text/plain")
-
+    Handler = _make_handler(
+        info,
+        decode=lambda body, headers: _decode_signal_request(
+            body, headers.get("Content-Type", ""),
+            cfg.signal_length, cfg.num_channel),
+        predict_one=(batcher.predict if batcher is not None
+                     else lambda x: predictor(x[None])[0]),
+        respond=lambda pred: (json.dumps(
+            {"output": np.asarray(pred, np.float64).tolist()}).encode(),
+            "application/json"))
     server = http.server.ThreadingHTTPServer((host, port), Handler)
     server.batcher = batcher
     return server
