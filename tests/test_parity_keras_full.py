@@ -127,25 +127,30 @@ def test_ibaunet_parity(ref_modules):
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 
-def test_linknet_parity(ref_modules):
+@pytest.mark.parametrize("meth", ["LinkNet", "LinkNetE", "LinkNetP",
+                                  "LinkNetPP", "MultiResLinkNet"])
+def test_linknet_parity(ref_modules, meth):
     sys.path.insert(0, REF_1D)
     mod = importlib.import_module("Models.linknet")
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import LinkNet
     with _rec() as rec:
-        kmodel = mod.LinkNet(64, 2, 1, 8, 3, problem_type="Regression",
-                             output_nums=1, ds=0).LinkNet()
-    fmodel = getattr(LinkNet(64, 2, 1, 8, 3, ds=0), "LinkNet")()
+        kmodel = getattr(mod.LinkNet(
+            64, 2, 1, 8, 3, problem_type="Regression",
+            output_nums=1, ds=0), meth)()
+    fmodel = getattr(LinkNet(64, 2, 1, 8, 3, ds=0), meth)()
     x = np.random.default_rng(10).normal(size=(1, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 
-def test_ternausnet_parity(ref_modules):
+@pytest.mark.parametrize("meth", ["TernausNet11", "TernausNet16"])
+def test_ternausnet_parity(ref_modules, meth):
     sys.path.insert(0, REF_1D)
     mod = importlib.import_module("Models.TernausNet")
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import TernausNet
     with _rec() as rec:
-        kmodel = mod.TernausNet(64, 1, 4, problem_type="Regression",
-                                output_nums=1, ds=0).TernausNet11()
-    fmodel = TernausNet(64, 1, 4, ds=0).TernausNet11()
+        kmodel = getattr(mod.TernausNet(
+            64, 1, 4, problem_type="Regression",
+            output_nums=1, ds=0), meth)()
+    fmodel = getattr(TernausNet(64, 1, 4, ds=0), meth)()
     x = np.random.default_rng(11).normal(size=(1, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)

@@ -25,7 +25,7 @@ def _ref_1d(name):
     return importlib.import_module(f"Models.{name}")
 
 
-@pytest.mark.parametrize("meth", ["MLMRSNet", "LDNet"])
+@pytest.mark.parametrize("meth", ["MLMRSNet", "MLMRSNet_V2", "LDNet"])
 def test_mlmrsnet_parity(ref_modules, meth):
     """mix-pool / MSP / MRP wiring (reference Models/MLMRSNet.py:57-366)."""
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models.mlmrsnet import (
@@ -41,9 +41,11 @@ def test_mlmrsnet_parity(ref_modules, meth):
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 
-def test_saunet_parity(ref_modules, monkeypatch):
+@pytest.mark.parametrize("meth", ["SAUNet", "SAMultiResUNet",
+                                  "SelfSAUNet"])
+def test_saunet_parity(ref_modules, monkeypatch, meth):
     """DropBlock (inference identity) + CBAM-style spatial attention
-    (reference Models/saunet_variants.py:53-121, :234-247, :329-386).
+    (reference Models/saunet_variants.py:53-121, :234-247, :329-491).
 
     The reference's spatial_attention closes with a RAW
     ``tf.math.multiply`` on KerasTensors (:247) — a crash under the
@@ -63,10 +65,11 @@ def test_saunet_parity(ref_modules, monkeypatch):
         if training else alt,
         raising=False)
     with _rec() as rec:
-        kmodel = mod.SAUNet(64, 2, 1, 8, 3, output_nums=1, ds=0,
-                            block_size=3, keep_prob=0.9).SAUNet()
-    fmodel = SAUNet(64, 2, 1, 8, 3, ds=0, block_size=3,
-                    keep_prob=0.9).SAUNet()
+        kmodel = getattr(mod.SAUNet(64, 2, 1, 8, 3, output_nums=1, ds=0,
+                                    block_size=3, keep_prob=0.9,
+                                    alpha=1, q=3), meth)()
+    fmodel = getattr(SAUNet(64, 2, 1, 8, 3, ds=0, block_size=3,
+                            keep_prob=0.9, alpha=1, q=3), meth)()
     x = np.random.default_rng(21).normal(size=(1, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 

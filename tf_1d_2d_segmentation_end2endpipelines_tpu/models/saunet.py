@@ -20,6 +20,7 @@ from flax import linen as nn
 from ..ops import (
     ConvBlock,
     DropBlock,
+    ResPath,
     FeatureExtractionBlock,
     Oper,
     OperTranspose,
@@ -108,9 +109,16 @@ class SAUNetModel(nn.Module):
                 self.kernel_size, self.alpha, self.block_size,
                 self.keep_prob, dtype=self.dtype)(x, train)
         if self.variant == "SelfSAUNet":
+            # Oper1D (no activation) -> DropBlock -> BN -> tanh
+            # (saunet_variants.py:459-463; the BN+tanh tail was missing —
+            # caught by the SelfSAUNet parity fixture, round 3)
             x = Oper(feats, self.kernel_size, q=self.q, dtype=self.dtype)(x)
-            return DropBlock(self.block_size, self.keep_prob)(
+            x = DropBlock(self.block_size, self.keep_prob)(
                 x, deterministic=not train)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+            return jnp.tanh(x)
         return ConvBlockRegulated(feats, self.kernel_size, self.block_size,
                                   self.keep_prob, dtype=self.dtype)(x, train)
 
@@ -127,6 +135,13 @@ class SAUNetModel(nn.Module):
             if double:
                 conv = self._block(conv, W * 2 ** (i - 1), train)
             pool = downsample_pool(conv, 2, op="max")
+            if self.variant == "SAMultiResUNet":
+                # skips route through UN-regulated ResPath chains of
+                # length D-i+1 (saunet_variants.py:402 — was missing,
+                # caught by the SAMultiResUNet parity fixture, round 3)
+                conv = ResPath(D - i + 1, W * 2 ** (i - 1),
+                               self.kernel_size, dtype=self.dtype)(
+                                   conv, train)
             taps.append(conv)
         if self.ae == 1:
             pool = FeatureExtractionBlock(W, self.feature_number,
