@@ -87,16 +87,19 @@ def test_1d_more_archs_parity(ref_modules, arch):
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 
-def test_bcdunet_parity(ref_modules):
+@pytest.mark.parametrize("lstm", [1, 0])
+def test_bcdunet_parity(ref_modules, lstm):
+    """lstm=1: skip fusion through BiConvLSTM; lstm=0: dense-concat-only
+    fusion (BCDUNet.py:129-151) — both paths fixtured."""
     sys.path.insert(0, REF_1D)
     mod = importlib.import_module("Models.BCDUNet")
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import BCDUNet
     with _rec() as rec:
         kmodel = mod.BCDUNet(64, 2, 1, 8, 3, problem_type="Regression",
-                             output_nums=1, ds=0, lstm=1,
+                             output_nums=1, ds=0, lstm=lstm,
                              dense_loop=2).BCDUNet()
     fmodel = BCDUNet(model_width=8, model_depth=2, kernel_size=3,
-                     lstm=1, dense_loop=2)
+                     lstm=lstm, dense_loop=2)
     x = np.random.default_rng(7).normal(size=(1, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 

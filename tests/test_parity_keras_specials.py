@@ -74,16 +74,19 @@ def test_saunet_parity(ref_modules, monkeypatch, meth):
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 
-def test_convmixer_unet_parity(ref_modules):
+@pytest.mark.parametrize("kmeth", ["UNet", "UNetPP"])
+def test_convmixer_unet_parity(ref_modules, kmeth):
     """ConvMixer block chain (reference Models/convmixer_unet.py:6-18,
-    :164-241): depthwise conv -> gelu -> BN -> residual -> pointwise."""
-    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import UNet1D
+    :164-241, :453-548): depthwise conv -> gelu -> BN -> residual ->
+    pointwise; UNetPP = the same units on the nested topology."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
+        ConvMixerUNet)
     mod = _ref_1d("convmixer_unet")
     with _rec() as rec:
-        kmodel = mod.ConvMixer_UNet(64, 2, 1, 8, 3,
-                                    problem_type="Regression",
-                                    output_nums=1, ds=0).UNet()
-    fmodel = UNet1D(64, 2, 1, 8, 3, ds=0).ConvMixerUNet()
+        kmodel = getattr(mod.ConvMixer_UNet(
+            64, 2, 1, 8, 3, problem_type="Regression",
+            output_nums=1, ds=0), kmeth)()
+    fmodel = getattr(ConvMixerUNet(64, 2, 1, 8, 3, ds=0), kmeth)()
     x = np.random.default_rng(22).normal(size=(1, 64, 1)).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
