@@ -79,7 +79,10 @@ def test_2d_fpn_genre_parity(ref_modules, decoder):
 
 
 @pytest.mark.parametrize("arch", ["UNetPP", "UNet3P", "MultiResUNet",
-                                  "RUNet", "R2UNet"])
+                                  "RUNet", "R2UNet", "UNetE", "UNetP",
+                                  "UNet4P", "MultiResUNet3P", "R2UNetPP",
+                                  "R2UNet3P", "SelfR2UNetPP",
+                                  "SelfUNetPP", "SelfUNet3P"])
 def test_1d_more_archs_parity(ref_modules, arch):
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import UNet1D
     kbuilder = ref_modules["1d"].UNet(64, 2, 1, 8, 3,
@@ -88,7 +91,12 @@ def test_1d_more_archs_parity(ref_modules, arch):
     with _rec() as rec:
         kmodel = getattr(kbuilder, arch)()
     fmodel = getattr(UNet1D(64, 2, 1, 8, 3, ds=0, t=2), arch)()
-    x = np.random.default_rng(6).normal(size=(1, 64, 1)).astype(np.float32)
+    # Self-ONN q=3 cubes overflow to NaN at unit-scale random input in
+    # the reference too (no normalization between power terms); probe
+    # those archs at 0.1 scale — every weight still participates
+    scale = 0.1 if arch.startswith("Self") else 1.0
+    x = (scale * np.random.default_rng(6).normal(
+        size=(1, 64, 1))).astype(np.float32)
     _compare(kmodel, fmodel, x, creation_order=rec.order)
 
 

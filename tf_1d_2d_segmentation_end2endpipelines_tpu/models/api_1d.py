@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import (
+    AttentionGate,
     ConvBlock,
     ConvMixerBlock,
     FeatureExtractionBlock,
@@ -28,8 +29,10 @@ from ..ops import (
     RecurrentConvBlock,
     ResPath,
     SelfRecurrentConvBlock,
+    TransConv,
     concat,
     downsample_pool,
+    upsample,
 )
 from .decoders import (
     ChainDecoder,
@@ -52,9 +55,10 @@ _ARCHS: tp.Dict[str, tp.Dict[str, tp.Any]] = {
                            enc="dense4p"),
     "MultiResUNet":   dict(topo="chain", node="multires", reps=1,
                            enc="multires", latent="multires"),
-    "MultiResUNet3P": dict(topo="full", node="multires", reps=1,
-                           enc="multires", latent="multires",
-                           multires=True),
+    # the 1D MultiResUNet3P is a DIFFERENT architecture from the 2D one
+    # (unet_variants.py:899-980): dense sigmoid-gated encoder + chain
+    # decoder with full-scale sigmoid concats — custom builder below
+    "MultiResUNet3P": dict(topo="mr3p1d"),
     "RUNet":          dict(topo="chain", node="recurrent", reps=2,
                            enc="recurrent", latent="recurrent"),
     "R2UNet":         dict(topo="chain", node="r2", reps=2, enc="r2x2",
@@ -65,7 +69,8 @@ _ARCHS: tp.Dict[str, tp.Dict[str, tp.Any]] = {
                            latent="r2x2"),
     "SelfR2UNetPP":   dict(topo="selfgrid", bare=True, enc="selfrec",
                            latent="selfrec_q1"),
-    "SelfUNetPP":     dict(topo="selfgrid", enc="oper2", latent="oper2"),
+    "SelfUNetPP":     dict(topo="selfgrid", node_reps=2, enc="oper2",
+                           latent="oper2"),
     "SelfUNet3P":     dict(topo="selffull", enc="oper2", latent="oper2"),
     # ConvMixer_UNet topologies (1DCNN/Models/convmixer_unet.py:164-710):
     # the same wirings with ConvMixer blocks as the conv unit
@@ -177,12 +182,89 @@ class SegModel1D(nn.Module):
         x = ConvBlock(feats, k, dtype=self.dtype)(x, train)
         return ConvBlock(feats, k, dtype=self.dtype)(x, train)
 
+    def _mr3p_1d(self, x: jax.Array, train: bool
+                 ) -> tp.Dict[str, jax.Array]:
+        """1D ``MultiResUNet3P`` (1DCNN/Models/unet_variants.py:899-980)
+        — NOT the 2D architecture of the same name.  Faithful quirks:
+
+        - the encoder's dense k-loop REASSIGNS ``pool`` each step, so
+          only the LAST earlier tap survives: level i>1 reads
+          concat(sigmoid(mp2(tap_{i-1})), mp2(tap_{i-1}))  (:913-918)
+        - ResPath taps use filter multiplier ``2**i`` (not 2**(i-1))
+          and length D-i+1 (0 -> one unit)  (:920)
+        - the decoder concats sigmoid-gated UpSampling1D copies of the
+          bottleneck tap and every earlier decoder node  (:948-955)
+        - DS heads are STRIDE-2 1x1 convs  (:962)
+        - a second bottleneck MultiResBlock is created but disconnected
+          from the functional graph  (:926) — omitted (dead weights are
+          not part of the reference model either)
+        - the LSTM branch references an undefined ``model_depth`` global
+          (:942) and crashes in the reference; unsupported here."""
+        if self.lstm == 1:
+            raise NotImplementedError(
+                "the reference's 1D MultiResUNet3P LSTM branch crashes "
+                "(undefined 'model_depth', unet_variants.py:942)")
+        D, W, k = self.model_depth, self.model_width, self.kernel_size
+        taps: tp.List[jax.Array] = []
+        pool = x
+        for i in range(1, D + 2):
+            if i > 1:
+                g = downsample_pool(taps[-1], 2, op="max")
+                pool = concat(nn.sigmoid(g), g)
+            m = MultiResBlock(W, k, alpha=self.alpha,
+                              multiplier=2 ** (i - 1),
+                              dtype=self.dtype)(pool, train)
+            taps.append(ResPath(D - i + 1, W * (2 ** i), k,
+                                dtype=self.dtype)(m, train))
+
+        deconv = taps[D]
+        nodes: tp.List[jax.Array] = []
+        levels: tp.List[jax.Array] = []
+        for j in range(D):
+            skip = taps[D - j - 1]
+            if self.ag == 1:
+                skip = AttentionGate(W * (2 ** (D - j - 1)),
+                                     dtype=self.dtype)(skip, deconv, train)
+            if self.is_transconv:
+                deconv = TransConv(W * (2 ** (D - j - 1)), kernel=2,
+                                   use_bn=True, activation="relu",
+                                   dtype=self.dtype)(deconv, train)
+            else:
+                deconv = upsample(deconv, 2, method="nearest")
+            deconv = concat(deconv, skip)
+            for mi in range(j + 1):
+                temp = taps[D] if mi == 0 else nodes[mi - 1]
+                temp = upsample(temp, 2 ** (j - mi + 1), method="nearest")
+                deconv = concat(deconv, nn.sigmoid(temp))
+            deconv = MultiResBlock(W, k, alpha=self.alpha,
+                                   multiplier=2 ** (D - j - 1),
+                                   dtype=self.dtype)(deconv, train)
+            nodes.append(deconv)
+            if self.ds == 1:
+                levels.append(nn.Conv(
+                    1, (1,), strides=(2,), dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name=f"level{D - j}")(deconv))
+
+        act = self.problem_type == "Classification"
+        out = nn.Conv(self.output_nums, (1,), dtype=self.dtype,
+                      param_dtype=jnp.float32, name="out")(deconv)
+        if act:
+            out = nn.softmax(out, axis=-1)
+        outputs = {"out": out}
+        if self.ds == 1:
+            for idx, lvl in enumerate(levels):
+                outputs[f"level{D - idx}"] = lvl
+        return outputs
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.Dict[str, jax.Array]:
         cfg = _ARCHS[self.arch]
         D = self.model_depth
         W = self.model_width
+        if cfg["topo"] == "mr3p1d":
+            return self._mr3p_1d(x.astype(self.dtype), train)
         family = cfg.get("enc", "conv")
         latent_family = cfg.get("latent", "conv")
         x = x.astype(self.dtype)
@@ -227,7 +309,9 @@ class SegModel1D(nn.Module):
             decoder = FullScaleDecoder(multires=cfg.get("multires", False),
                                        **common)
         elif topo == "selfgrid":
-            decoder = SelfGridDecoder(bare=cfg.get("bare", False), **common)
+            decoder = SelfGridDecoder(bare=cfg.get("bare", False),
+                                      node_reps=cfg.get("node_reps", 1),
+                                      **common)
         elif topo == "selffull":
             decoder = SelfFullScaleDecoder(**common)
         else:

@@ -422,12 +422,17 @@ class SelfChainDecoder(_DecoderBase):
 
 
 class SelfGridDecoder(_DecoderBase):
-    """Self-ONN nested grid (reference ``SelfUNetPP`` :667-710): UNet++
+    """Self-ONN nested grid (reference 2D ``SelfUNetPP`` :667-710): UNet++
     topology with Oper blocks + BN + tanh, no attention/LSTM options.
-    ``bare=True`` drops the BN+tanh after each node Oper (the 1D
-    ``SelfR2UNetPP`` convention)."""
+
+    The 1D tree's convention (1DCNN/Models/unet_variants.py:1412-1511,
+    ``dialect='1d'``) drops the BN+tanh after each node Oper and uses
+    plain-conv DS heads; ``node_reps`` is 2 for the 1D ``SelfUNetPP``
+    (two Opers per node, :1463-1464) and 1 for ``SelfR2UNetPP``
+    (``bare=True`` is that arch's legacy alias for the 1D convention)."""
 
     bare: bool = False
+    node_reps: int = 1
 
     @nn.compact
     def __call__(self, skips: tp.Sequence[jax.Array],
@@ -435,8 +440,16 @@ class SelfGridDecoder(_DecoderBase):
         D = self.model_depth
         W = self.model_width
         levels: tp.List[jax.Array] = []
+        plain = self.bare or self.dialect == "1d"
+
+        def _head(x):
+            if self.dialect == "1d":  # Conv1D heads (:1440, :1495)
+                return nn.Conv(1, (1,), dtype=self.dtype,
+                               param_dtype=jnp.float32)(x)
+            return Oper(1, 1, q=self.q, dtype=self.dtype)(x)
+
         if self.D_S == 1:
-            levels.append(Oper(1, 1, q=self.q, dtype=self.dtype)(skips[0]))
+            levels.append(_head(skips[0]))
         deconvs: tp.Dict[tp.Tuple[int, int], jax.Array] = {}
         for i in range(1, D + 1):
             for j in range(0, D - i + 1):
@@ -455,8 +468,10 @@ class SelfGridDecoder(_DecoderBase):
                     deconv = concat(deconv, tot, skips[j])
                 else:
                     deconv = concat(deconv, skips[j])
-                deconv = Oper(width_j, self.kernel, q=self.q, dtype=self.dtype)(deconv)
-                if not self.bare:
+                for _ in range(max(self.node_reps, 1)):
+                    deconv = Oper(width_j, self.kernel, q=self.q,
+                                  dtype=self.dtype)(deconv)
+                if not plain:
                     deconv = nn.BatchNorm(use_running_average=not train,
                                           momentum=0.99, epsilon=1e-3,
                                           dtype=self.dtype,
@@ -464,8 +479,7 @@ class SelfGridDecoder(_DecoderBase):
                     deconv = nn.tanh(deconv)
                 deconvs[(j, i)] = deconv
                 if self.D_S == 1 and j == 0 and i < D:
-                    levels.append(Oper(1, 1, q=self.q,
-                                       dtype=self.dtype)(deconvs[(0, i)]))
+                    levels.append(_head(deconvs[(0, i)]))
         return deconvs[(0, D)], levels
 
 
