@@ -9,6 +9,12 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .pipeline import (  # noqa: F401
+    make_pipeline_mesh,
+    pipeline_apply,
+    stack_stage_params,
+    unstack_stage_params,
+)
 from .sharding_rules import param_shardings, state_shardings  # noqa: F401
 from .spatial import (  # noqa: F401
     length_sharded_batches,
