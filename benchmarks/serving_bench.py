@@ -8,7 +8,9 @@ round-trip is measured and reported separately so the device-side
 throughput is visible).
 
 Usage: python benchmarks/serving_bench.py [max_batch ...]   (default 1 8 32)
-Prints one JSON line per batch size.
+Prints one JSON line per batch size; each line carries both the float
+path and the int8-quantized path (quant.py) so the quantization speedup
+is measured side by side.
 """
 import json
 import os
@@ -63,12 +65,22 @@ def main():
         dev_dt = chained_device_time(pred._fn, xb, K=10 if on_tpu else 2,
                                      reps=5 if on_tpu else 2)
 
+        # int8-quantized path: same model, convs on the int8 MXU
+        pred_q = Predictor(model, trainer.state, (size, size, 3),
+                           max_batch=mb, dtype=dtype,
+                           int8_calibration=x[:min(mb, 8)])
+        q_dt = chained_device_time(pred_q._fn, xb, K=10 if on_tpu else 2,
+                                   reps=5 if on_tpu else 2)
+
         print(json.dumps({
             "max_batch": mb,
             "request_path_ips": round(mb * iters / dt, 2),
             "request_ms": round(dt / iters * 1e3, 2),
             "device_ips": round(mb / dev_dt, 2),
             "device_ms_per_batch": round(dev_dt * 1e3, 2),
+            "int8_device_ips": round(mb / q_dt, 2),
+            "int8_ms_per_batch": round(q_dt * 1e3, 2),
+            "int8_speedup": round(dev_dt / q_dt, 3),
             "note": "request path includes the full mask fetch over the "
                     "axon tunnel; device_ips is the co-located ceiling",
         }), flush=True)

@@ -97,6 +97,43 @@ def test_http_server_predict(tmp_path):
         server.server_close()
 
 
+def test_http_server_int8(tmp_path):
+    """make_server(int8=True) calibrates (falling back to random inputs
+    with a warning when no images exist) and serves quantized masks."""
+    from PIL import Image
+
+    cfg = TrainConfig(imlength=32, imwidth=32, num_channels=3,
+                      decoder_name="UNet", model_width=4, model_depth=2,
+                      output_nums=1, class_number=1,
+                      save_dir=str(tmp_path))
+    # calib images present: exercises the real calibration-loading path
+    calib_dir = tmp_path / "calib"
+    calib_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        Image.fromarray((rng.uniform(size=(32, 32, 3)) * 255).astype(
+            np.uint8)).save(calib_dir / f"img_{i}.png")
+    server = make_server(cfg, str(tmp_path / "Fold_1"), port=0,
+                         int8=True, calib_dir=str(calib_dir))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        info = json.loads(urllib.request.urlopen(base + "/info").read())
+        assert info["int8"] is True
+        img = Image.fromarray(
+            (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        resp = urllib.request.urlopen(urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST"))
+        mask = Image.open(io.BytesIO(resp.read()))
+        assert mask.size == (32, 32)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_dynamic_batcher_coalesces_concurrent_requests():
     """N concurrent single-image requests ride ONE device batch (not N
     padded singles), and every caller gets its own correct result."""

@@ -619,6 +619,14 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_srv.add_argument("--fold", type=int, default=1)
     p_srv.add_argument("--max-batch", type=int, default=1)
     p_srv.add_argument("--threshold", type=float, default=0.5)
+    p_srv.add_argument("--int8", action="store_true",
+                       help="serve with int8-quantized convolutions "
+                       "(quant.py; wins only for MXU-bound wide models "
+                       "- measured a LOSS at stock-zoo widths, see "
+                       "docs/SCALING.md)")
+    p_srv.add_argument("--calib-dir", default=None,
+                       help="calibration images for --int8 (defaults to "
+                       "the config's train_dir)")
     p_exp = sub.add_parser("export")
     p_exp.add_argument("config", nargs="?", default="Train_Configs.ini")
     p_exp.add_argument("--out", default="model.stablehlo")
@@ -683,7 +691,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     elif args.cmd == "serve":
         from .serve import serve as _serve
         _serve(args.config, host=args.host, port=args.port, fold=args.fold,
-               max_batch=args.max_batch, threshold=args.threshold)
+               max_batch=args.max_batch, threshold=args.threshold,
+               int8=args.int8, calib_dir=args.calib_dir)
     elif args.cmd == "export":
         export(args.config, out_path=args.out, fold=args.fold,
                batch=args.batch)

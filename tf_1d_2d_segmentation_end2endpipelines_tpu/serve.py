@@ -112,15 +112,29 @@ class Predictor:
     static-batch scheduler)."""
 
     def __init__(self, model, state, input_size: tp.Tuple[int, int, int],
-                 max_batch: int = 8, dtype=None):
+                 max_batch: int = 8, dtype=None,
+                 int8_calibration: tp.Optional[np.ndarray] = None):
+        """``int8_calibration``: a representative input batch — when given,
+        every conv runs on the int8 MXU path (quant.py: per-channel weight
+        scales folded at compile time, per-tensor activation scales from
+        this batch).  TPU v5e's MXU has 2x int8 throughput."""
         import jax
         import jax.numpy as jnp
 
         self.max_batch = int(max_batch)
         self.input_size = tuple(input_size)
         self._dtype = dtype or jnp.float32
-        self._fn = jax.jit(_infer_fn(model, state.params,
-                                     state.batch_stats))
+        if int8_calibration is not None:
+            from .quant import calibrate, quantize_predict_fn
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            scales = calibrate(model, variables,
+                               jnp.asarray(int8_calibration, self._dtype))
+            self._fn = jax.jit(quantize_predict_fn(model, variables, scales))
+        else:
+            self._fn = jax.jit(_infer_fn(model, state.params,
+                                         state.batch_stats))
         # compile once up front on zeros (cached thereafter)
         warm = jnp.zeros((self.max_batch, *self.input_size), self._dtype)
         out = jax.block_until_ready(self._fn(warm))
@@ -327,9 +341,45 @@ def _make_handler(info: tp.Dict[str, tp.Any],
     return Handler
 
 
+def _load_calibration_images(calib_dir: tp.Optional[str], train_cfg,
+                             size, n: int) -> np.ndarray:
+    """Up to ``n`` decoded images for int8 calibration — from
+    ``calib_dir`` if it has any, else the config's train_dir tree, else a
+    uniform[0,1] batch (degraded calibration, warned)."""
+    from .data.generators import load_image
+
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+    paths: tp.List[str] = []
+    for root in (calib_dir, train_cfg.train_dir):
+        if not (root and os.path.isdir(root)):
+            continue
+        for dirpath, _, files in os.walk(root):
+            if "mask" in os.path.basename(dirpath).lower():
+                continue  # calibrate on images, not label masks
+            for f in sorted(files):
+                if f.lower().endswith(exts):
+                    paths.append(os.path.join(dirpath, f))
+                if len(paths) >= n:
+                    break
+            if len(paths) >= n:
+                break
+        if paths:
+            break
+    if not paths:
+        print("WARNING: no calibration images found; int8 scales "
+              "calibrated on random inputs (pass --calib-dir for "
+              "representative data)", flush=True)
+        return np.random.default_rng(0).uniform(
+            size=(n, *size, train_cfg.num_channels)).astype(np.float32)
+    return np.stack([
+        load_image(p, size, train_cfg.image_color_mode, "lanczos")
+        / train_cfg.normalizing_factor_img for p in paths])
+
+
 def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
                 port: int = 8000, max_batch: int = 1, threshold: float = 0.5,
-                dtype=None):
+                dtype=None, int8: bool = False,
+                calib_dir: tp.Optional[str] = None):
     """Build (but do not start) the HTTP server.  Returns the
     ``http.server.ThreadingHTTPServer`` — call ``serve_forever()`` on it
     (or ``handle_request()`` in tests).
@@ -350,9 +400,13 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
     model, trainer = _restore_trainer(train_cfg, ckpt_dir, "serving",
                                       dtype=dtype)
     size = (train_cfg.imlength, train_cfg.imwidth)
+    calib = (_load_calibration_images(calib_dir, train_cfg, size,
+                                      max(max_batch, 8))
+             if int8 else None)
     predictor = Predictor(model, trainer.state,
                           (*size, train_cfg.num_channels),
-                          max_batch=max_batch, dtype=dtype)
+                          max_batch=max_batch, dtype=dtype,
+                          int8_calibration=calib)
     # max_batch > 1: coalesce concurrent requests into one device batch
     batcher = DynamicBatcher(predictor) if max_batch > 1 else None
     n_fg = max(train_cfg.class_number, 1)
@@ -362,6 +416,7 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
         "class_number": train_cfg.class_number,
         "threshold": threshold,
         "max_batch": max_batch,
+        "int8": bool(int8),
     }
 
     def _respond(pred):
@@ -473,7 +528,8 @@ def serve_1d(config_path: str = "Signal_Configs.ini",
 
 def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
           port: int = 8000, fold: int = 1, max_batch: int = 1,
-          threshold: float = 0.5) -> None:
+          threshold: float = 0.5, int8: bool = False,
+          calib_dir: tp.Optional[str] = None) -> None:
     """CLI entry: load the persisted train config + fold checkpoint and
     serve forever."""
     from .utils.config import load_train_config
@@ -481,7 +537,8 @@ def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
     cfg = load_train_config(config_path)
     ckpt_dir = os.path.join(cfg.save_dir or "", f"Fold_{fold}")
     server = make_server(cfg, ckpt_dir, host=host, port=port,
-                         max_batch=max_batch, threshold=threshold)
+                         max_batch=max_batch, threshold=threshold,
+                         int8=int8, calib_dir=calib_dir)
     print(f"tpuseg serving {cfg.encoder_name}_{cfg.decoder_name} on "
           f"http://{host}:{server.server_address[1]}  (POST /predict)",
           flush=True)
