@@ -26,8 +26,6 @@ import jax.numpy as jnp
 
 if len(jax.devices()) < 4:  # self-provision a virtual CPU mesh (the
     # session env may pin a single-chip backend before XLA_FLAGS is read)
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
     from __graft_entry__ import _ensure_devices
     _ensure_devices(8)
 

@@ -97,6 +97,32 @@ def test_quantized_1d_model():
     assert np.abs(q - f).max() / denom < 0.15
 
 
+def test_unsupported_convs_stay_float():
+    """Convs with explicit list padding (pretrained-backbone stems, e.g.
+    ResNet's [(3,3),(3,3)]) must be left on the float path — not recorded
+    by calibrate, not crashed on by the quantized forward."""
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(8, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)])(x)
+            x = nn.relu(x)
+            x = nn.Conv(8, (3, 3), padding="SAME")(x)
+            return {"out": x}
+
+    model = Stem()
+    x = np.random.default_rng(4).normal(
+        size=(2, 16, 16, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    scales = calibrate(model, variables, x, skip=lambda m: False)
+    # only the SAME-padded conv is calibrated
+    assert len(scales) == 1
+    q = np.asarray(jax.jit(quantize_predict_fn(
+        model, variables, scales, skip=lambda m: False))(x))
+    assert np.isfinite(q).all()
+
+
 def test_predictor_int8_calibration():
     """Predictor(int8_calibration=...) serves quantized predictions with
     the same padding/chunking semantics as the float path."""

@@ -97,6 +97,31 @@ def test_http_server_predict(tmp_path):
         server.server_close()
 
 
+def test_calibration_images_skip_masks(tmp_path):
+    """_load_calibration_images must resolve the dataset layouts
+    (images/masks and img/msk at any depth) and calibrate on IMAGES."""
+    from PIL import Image
+
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        _load_calibration_images)
+
+    root = tmp_path / "train" / "fold_1"
+    (root / "img").mkdir(parents=True)
+    (root / "msk").mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        Image.fromarray((rng.uniform(size=(16, 16, 3)) * 255).astype(
+            np.uint8)).save(root / "img" / f"a_{i}.png")
+        # masks are all-255: easily detected if wrongly calibrated on
+        Image.fromarray(np.full((16, 16), 255, np.uint8)).save(
+            root / "msk" / f"a_{i}.png")
+    cfg = TrainConfig(imlength=16, imwidth=16, num_channels=3,
+                      train_dir=str(tmp_path / "train"))
+    batch = _load_calibration_images(None, cfg, (16, 16), 4)
+    assert batch.shape[0] == 2  # the two images, no masks
+    assert batch.max() < 1.0  # mask PNGs would be exactly 1.0
+
+
 def test_http_server_int8(tmp_path):
     """make_server(int8=True) calibrates (falling back to random inputs
     with a warning when no images exist) and serves quantized masks."""

@@ -51,6 +51,23 @@ def default_skip(module: "nn.Conv") -> bool:
     return int(np.prod(module.kernel_size)) == 1 and module.features <= 4
 
 
+def _quantizable(module: "nn.Conv") -> bool:
+    """True when _int8_conv implements everything this conv uses.
+    Unsupported convs (explicit list padding — e.g. the pretrained
+    backbones' [(3,3),(3,3)] stem convs, input dilation, kernel masks)
+    simply STAY FLOAT rather than crashing the quantized forward."""
+    if not (isinstance(module.padding, str)
+            and module.padding in ("SAME", "VALID")):
+        return False
+    if getattr(module, "mask", None) is not None:
+        return False
+    in_dil = getattr(module, "input_dilation", None)
+    if in_dil not in (None, 1) and tuple(np.atleast_1d(in_dil)) != \
+            (1,) * len(np.atleast_1d(in_dil)):
+        return False
+    return True
+
+
 def _conv_spec(ndim: int) -> tp.Tuple[str, str, str]:
     if ndim == 3:   # (B, L, C)
         return ("NWC", "WIO", "NWC")
@@ -70,11 +87,12 @@ def _tuplify(v, n: int) -> tp.Tuple[int, ...]:
 def _int8_conv(module: "nn.Conv", x: jax.Array, kernel: jax.Array,
                s_x: jax.Array) -> jax.Array:
     """The quantized replacement for one bound nn.Conv call (bias and
-    output dtype handled by the caller)."""
-    if not isinstance(module.padding, str) or \
-            module.padding not in ("SAME", "VALID"):
+    output dtype handled by the caller; the caller gates on
+    :func:`_quantizable`)."""
+    if not _quantizable(module):
         raise NotImplementedError(
-            f"int8 conv supports SAME/VALID padding, got {module.padding}")
+            f"conv not quantizable (padding={module.padding!r}); "
+            "callers must gate on _quantizable")
     n_spatial = x.ndim - 2
     # per-output-channel symmetric weight scales; params are closure
     # constants so XLA folds the weight quantization at compile time
@@ -117,7 +135,7 @@ def calibrate(model, variables, calib_x,
     def recorder(next_fn, args, kwargs, context):
         mod = context.module
         if (type(mod) is nn.Conv and context.method_name == "__call__"
-                and not skip(mod)):
+                and _quantizable(mod) and not skip(mod)):
             amax = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
             key = tuple(mod.path)
             scales[key] = max(scales.get(key, 0.0), amax, 1e-12)
@@ -140,7 +158,8 @@ def quantize_predict_fn(model, variables, scales: tp.Mapping[PathKey, float],
         mod = context.module
         key = tuple(mod.path) if mod.path is not None else ()
         if (type(mod) is nn.Conv and context.method_name == "__call__"
-                and not skip(mod) and key in scales):
+                and _quantizable(mod) and not skip(mod)
+                and key in scales):
             x = args[0]
             leaf = _lookup(params, key)
             y = _int8_conv(mod, x, leaf["kernel"], scales[key])

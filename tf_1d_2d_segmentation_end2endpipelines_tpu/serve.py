@@ -346,21 +346,22 @@ def _load_calibration_images(calib_dir: tp.Optional[str], train_cfg,
     """Up to ``n`` decoded images for int8 calibration — from
     ``calib_dir`` if it has any, else the config's train_dir tree, else a
     uniform[0,1] batch (degraded calibration, warned)."""
-    from .data.generators import load_image
+    from .data.generators import _list_images, load_image
 
-    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
     paths: tp.List[str] = []
     for root in (calib_dir, train_cfg.train_dir):
         if not (root and os.path.isdir(root)):
             continue
-        for dirpath, _, files in os.walk(root):
-            if "mask" in os.path.basename(dirpath).lower():
-                continue  # calibrate on images, not label masks
-            for f in sorted(files):
-                if f.lower().endswith(exts):
-                    paths.append(os.path.join(dirpath, f))
-                if len(paths) >= n:
-                    break
+        # same layout resolution as SegmentationFolderDataset: an
+        # images/ (or img/) subdir at any depth holds the IMAGES (never
+        # masks/msk); a dir with no such subdirs is itself flat images
+        image_dirs = []
+        for dirpath, dirs, _ in sorted(os.walk(root)):
+            for sub in sorted(dirs):
+                if sub in ("images", "img"):
+                    image_dirs.append(os.path.join(dirpath, sub))
+        for d in image_dirs or [root]:
+            paths.extend(_list_images(d)[:n - len(paths)])
             if len(paths) >= n:
                 break
         if paths:
