@@ -251,6 +251,46 @@ def test_train_with_all_perf_ini_keys(tmp_path):
     assert all(np.isfinite(v) for v in hist[1]["loss"])
 
 
+def test_ema_and_tta_through_the_drivers(tmp_path):
+    """INI `ema_decay` trains with an EMA shadow (checkpoint carries it),
+    and INI `tta` runs the test driver's predictions TTA-averaged —
+    the full quality-stack round trip."""
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Train"), n=4)
+    _write_dataset(str(data / "Test"), n=2)
+    cfg = TrainConfig(
+        train_dir=str(data / "Train"), independent_val_set=False,
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", batch_size=4, num_epochs=2,
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        load_weights=False, ema_decay=0.9)
+    ini = tmp_path / "cfg.ini"
+    save_train_config(cfg, str(ini))
+    hist = run_train(config=load_train_config(str(ini)))
+    assert all(np.isfinite(v) for v in hist[1]["loss"])
+
+    # the saved checkpoint must carry the EMA shadow
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (
+        _build_model)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.train import (
+        CheckpointManager, Trainer)
+    tr = Trainer(_build_model(cfg))
+    tr.init_state(np.zeros((1, 32, 32, 3), np.float32))
+    restored = CheckpointManager(
+        os.path.join(cfg.save_dir, "Fold_1")).restore(tr.state, "best")
+    assert restored.ema_params is not None
+
+    tcfg = EvalConfig(
+        test_dir=str(data / "Test"), imheight=32, imwidth=32,
+        decoder_name="UNet", class_number=1,
+        start_fold=1, end_fold=1, save_dir=cfg.save_dir,
+        tta="hflip,vflip")
+    reports = run_test(config=tcfg, train_config=cfg)
+    rep = reports[1]
+    assert rep["checkpoint_restored"] is True
+    assert 0 <= rep["overall_accuracy"] <= 100
+
+
 def test_predict_cli(tmp_path):
     """`tpuseg predict` segments an unlabeled image folder with a trained
     checkpoint and writes one PNG mask per input."""

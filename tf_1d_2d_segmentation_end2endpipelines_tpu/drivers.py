@@ -221,6 +221,7 @@ def train(config_path: str = "Train_Configs.ini",
             seed=cfg.seed,
             remat=cfg.remat or None,
             accum_steps=cfg.accumulation_steps,
+            ema_decay=cfg.ema_decay,
         )
         sample = np.zeros((1, cfg.imlength if not cfg.patchify
                            else cfg.patch_width,
@@ -326,6 +327,10 @@ def test(config_path: str = "Test_Configs.ini",
         cm = init_confusion_matrix(n_classes)
         y_true_all, y_pred_all, y_score_all = [], [], []
         samples = []  # (image, mask, pred_label) for the sample grid
+        from .eval.tta import parse_tta
+        square = ((cfg.patch_width == cfg.patch_height) if cfg.patchify
+                  else (cfg.imheight == cfg.imwidth))
+        tta_names = parse_tta(cfg.tta, rank=2, square=square)
 
         def _prediction_stream():
             """Yield (idx, pred, msk).  Whole-image mode batches
@@ -340,7 +345,8 @@ def test(config_path: str = "Test_Configs.ini",
                         img, (cfg.patch_width, cfg.patch_height),
                         cfg.overlap_ratio)
                     pred = unpatchify(
-                        np.asarray(trainer.predict(patches)["out"]),
+                        np.asarray(trainer.predict(
+                            patches, tta=tta_names)["out"]),
                         (cfg.imheight, cfg.imwidth), cfg.overlap_ratio)
                     yield idx, pred, msk
                 return
@@ -354,7 +360,8 @@ def test(config_path: str = "Test_Configs.ini",
                     batch = np.concatenate(
                         [batch, np.zeros((pad, *batch.shape[1:]),
                                          batch.dtype)])
-                preds = np.asarray(trainer.predict(batch)["out"])
+                preds = np.asarray(trainer.predict(batch,
+                                                   tta=tta_names)["out"])
                 for k, i in enumerate(idxs):
                     yield i, preds[k], pairs[k][1]
 
@@ -490,7 +497,7 @@ def export(config_path: str = "Train_Configs.ini",
 def predict(config_path: str = "Train_Configs.ini",
             input_path: str = ".", out_dir: str = "predicted_masks",
             fold: int = 1, threshold: float = 0.5,
-            batch: int = 8) -> tp.List[str]:
+            batch: int = 8, tta: str = "") -> tp.List[str]:
     """Pure inference on UNLABELED images: restore the fold checkpoint,
     segment every image under ``input_path`` (file or folder), write PNG
     label masks named after the inputs.  Honors the config's patchify
@@ -516,6 +523,10 @@ def predict(config_path: str = "Train_Configs.ini",
     os.makedirs(out_dir, exist_ok=True)
     n_fg = max(cfg.class_number, 1)
     written = []
+    from .eval.tta import parse_tta
+    square = ((cfg.patch_width == cfg.patch_height) if cfg.patchify
+              else (size[0] == size[1]))
+    tta_names = parse_tta(tta, rank=2, square=square)
 
     def decode(p):
         return load_image(p, size, cfg.image_color_mode,
@@ -528,14 +539,16 @@ def predict(config_path: str = "Train_Configs.ini",
                 decode(p), (cfg.patch_width, cfg.patch_height),
                 cfg.overlap_ratio)
             pred = unpatchify(
-                np.asarray(trainer.predict(patches)["out"]),
+                np.asarray(trainer.predict(patches,
+                                           tta=tta_names)["out"]),
                 size, cfg.overlap_ratio)
             written.append(_write_mask(pred, p, out_dir, cfg.class_number,
                                        threshold, n_fg))
     else:
         predictor = Predictor(model, trainer.state,
                               (*size, cfg.num_channels),
-                              max_batch=min(batch, len(paths)))
+                              max_batch=min(batch, len(paths)),
+                              tta=tta_names)
         chunks = [paths[s:s + predictor.max_batch]
                   for s in range(0, len(paths), predictor.max_batch)]
 
@@ -641,6 +654,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_prd.add_argument("--fold", type=int, default=1)
     p_prd.add_argument("--threshold", type=float, default=0.5)
     p_prd.add_argument("--batch", type=int, default=8)
+    p_prd.add_argument("--tta", default="",
+                       help="test-time augmentation: comma list of "
+                       "invertible views to average (hflip,vflip,hvflip"
+                       "[,rot90,rot180,rot270 if square]; 'all'); every "
+                       "view runs in one compiled program")
     p_aug = sub.add_parser(
         "augment", help="offline augmentation: write N augmented copies "
         "of every image/mask pair back into the same folders "
@@ -698,7 +716,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                batch=args.batch)
     elif args.cmd == "predict":
         predict(args.config, input_path=args.input, out_dir=args.out,
-                fold=args.fold, threshold=args.threshold, batch=args.batch)
+                fold=args.fold, threshold=args.threshold, batch=args.batch,
+                tta=args.tta)
     elif args.cmd == "augment":
         import glob as _glob
         from .data.generators import augment_dataset

@@ -134,6 +134,7 @@ def train_1d(config_path: str = "Signal_Configs.ini",
                       if cfg.d_s == 1 else None),
         mesh=mesh,
         seed=cfg.seed,
+        ema_decay=cfg.ema_decay,
     )
     trainer.init_state(x[: min(len(x), cfg.batch_size)])
 
@@ -220,9 +221,12 @@ def predict_1d(config_path: str = "Signal_Configs.ini",
     _, trainer, _ = _restore_trainer_1d(cfg, "predicting with",
                                         dtype=dtype)
 
+    from .eval.tta import parse_tta
+    tta_names = parse_tta(cfg.tta, rank=1)
     chunks: tp.Dict[str, tp.List[np.ndarray]] = {}
     for start in range(0, len(x), cfg.batch_size):
-        out = trainer.predict(x[start:start + cfg.batch_size])
+        out = trainer.predict(x[start:start + cfg.batch_size],
+                              tta=tta_names)
         for k, v in out.items():
             chunks.setdefault(k, []).append(np.asarray(v))
     arrays = {("output" if k == "out" else k): np.concatenate(v)
@@ -244,9 +248,12 @@ def test_1d(config_path: str = "Signal_Configs.ini",
     _, trainer, restored = _restore_trainer_1d(cfg, "evaluating",
                                                dtype=dtype)
 
+    from .eval.tta import parse_tta
+    tta_names = parse_tta(cfg.tta, rank=1)
     preds = []
     for s in range(0, len(x), cfg.batch_size):
-        preds.append(trainer.predict(x[s:s + cfg.batch_size])["out"])
+        preds.append(trainer.predict(x[s:s + cfg.batch_size],
+                                     tta=tta_names)["out"])
     pred = np.concatenate(preds, axis=0)
 
     metrics: tp.Dict[str, tp.Any] = dict(construction_error(y, pred))

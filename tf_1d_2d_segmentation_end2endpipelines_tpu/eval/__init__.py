@@ -16,6 +16,10 @@ from .reports import (  # noqa: F401
     plot_multiclass_precision_recall_curves,
     plot_multiclass_roc,
 )
+from .tta import (  # noqa: F401
+    make_tta_fn,
+    parse_tta,
+)
 from .segmetrics import (  # noqa: F401
     confusion_matrix_update,
     dice,

@@ -44,6 +44,15 @@ def _infer_fn(model, params, batch_stats):
     return fn
 
 
+def _serving_params(state):
+    """Inference weights for a state-like object: the EMA shadow when the
+    training run tracked one, else the raw params.  Duck-typed so any
+    object with ``.params``/``.batch_stats`` (not only TrainState) can
+    drive the serving layer."""
+    ema = getattr(state, "ema_params", None)
+    return state.params if ema is None else ema
+
+
 def export_model(model, state, input_shape: tp.Sequence[int],
                  path: str, dtype=None,
                  platforms: tp.Optional[tp.Sequence[str]] = None) -> str:
@@ -63,7 +72,7 @@ def export_model(model, state, input_shape: tp.Sequence[int],
 
     if dtype is None:
         dtype = jnp.float32
-    fn = _infer_fn(model, state.params, state.batch_stats)
+    fn = _infer_fn(model, _serving_params(state), state.batch_stats)
     spec = jax.ShapeDtypeStruct(tuple(input_shape), dtype)
     try:
         exported = jax.export.export(
@@ -113,11 +122,15 @@ class Predictor:
 
     def __init__(self, model, state, input_size: tp.Tuple[int, int, int],
                  max_batch: int = 8, dtype=None,
-                 int8_calibration: tp.Optional[np.ndarray] = None):
+                 int8_calibration: tp.Optional[np.ndarray] = None,
+                 tta: tp.Sequence[str] = ()):
         """``int8_calibration``: a representative input batch — when given,
         every conv runs on the int8 MXU path (quant.py: per-channel weight
         scales folded at compile time, per-tensor activation scales from
-        this batch).  TPU v5e's MXU has 2x int8 throughput."""
+        this batch).  TPU v5e's MXU has 2x int8 throughput.
+
+        ``tta``: invertible view transforms (eval.tta names) averaged per
+        prediction — one compiled program runs every view."""
         import jax
         import jax.numpy as jnp
 
@@ -126,15 +139,20 @@ class Predictor:
         self._dtype = dtype or jnp.float32
         if int8_calibration is not None:
             from .quant import calibrate, quantize_predict_fn
-            variables = {"params": state.params}
+            variables = {"params": _serving_params(state)}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             scales = calibrate(model, variables,
                                jnp.asarray(int8_calibration, self._dtype))
-            self._fn = jax.jit(quantize_predict_fn(model, variables, scales))
+            fn = quantize_predict_fn(model, variables, scales)
         else:
-            self._fn = jax.jit(_infer_fn(model, state.params,
-                                         state.batch_stats))
+            fn = _infer_fn(model, _serving_params(state),
+                           state.batch_stats)
+        if tta:
+            from .eval.tta import make_tta_fn
+            fn = make_tta_fn(fn, tuple(tta),
+                             rank=len(self.input_size) - 1)
+        self._fn = jax.jit(fn)
         # compile once up front on zeros (cached thereafter)
         warm = jnp.zeros((self.max_batch, *self.input_size), self._dtype)
         out = jax.block_until_ready(self._fn(warm))

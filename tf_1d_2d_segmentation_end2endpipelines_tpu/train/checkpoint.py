@@ -34,17 +34,45 @@ class CheckpointManager:
         """
         path = self._path(name)
         payload = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.ema_params is not None:
+            # the EMA shadow ships with the weights so a later test/serve/
+            # export run (which may build a plain Trainer) still gets the
+            # weights the training run selected on
+            payload["ema_params"] = state.ema_params
         # overwrite semantics: Keras ModelCheckpoint replaces the file
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         return path
 
     def restore(self, state: TrainState, name: str = "best") -> TrainState:
+        """Restore weights into ``state``, tolerating an EMA mismatch in
+        either direction: a pre-EMA checkpoint restored into an EMA-tracking
+        trainer seeds the shadow from the restored params; an EMA checkpoint
+        restored into a plain trainer still loads (and serves) the shadow."""
+        import jax
+        import jax.numpy as jnp
+
         path = self._path(name)
         target = {"params": state.params, "batch_stats": state.batch_stats}
-        payload = self._ckptr.restore(path, target=target)
+        if state.ema_params is not None:
+            target["ema_params"] = state.ema_params
+        try:
+            payload = self._ckptr.restore(path, target=target)
+        except BaseException:
+            # structure mismatch: retry with the opposite EMA assumption
+            # (a genuinely corrupt checkpoint fails this attempt too)
+            alt = {"params": state.params,
+                   "batch_stats": state.batch_stats}
+            if state.ema_params is None:
+                alt["ema_params"] = jax.tree.map(jnp.zeros_like,
+                                                 state.params)
+            payload = self._ckptr.restore(path, target=alt)
+            if state.ema_params is not None:  # pre-EMA checkpoint
+                payload["ema_params"] = jax.tree.map(jnp.copy,
+                                                     payload["params"])
         return state.replace(params=payload["params"],
-                             batch_stats=payload["batch_stats"])
+                             batch_stats=payload["batch_stats"],
+                             ema_params=payload.get("ema_params"))
 
     def exists(self, name: str = "best") -> bool:
         return os.path.isdir(self._path(name))

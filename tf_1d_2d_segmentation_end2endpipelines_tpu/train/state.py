@@ -29,6 +29,18 @@ class TrainState(struct.PyTreeNode):
     params: tp.Any
     batch_stats: tp.Any
     opt_state: tp.Any
+    #: exponential moving average of ``params`` (``None`` when EMA tracking
+    #: is off).  A new capability over the reference (which has no EMA);
+    #: standard practice for segmentation deployment — eval/predict/export
+    #: use these shadow weights when present (``eval_params``).
+    ema_params: tp.Any = None
+
+    @property
+    def eval_params(self) -> tp.Any:
+        """Parameters for inference: the EMA shadow when tracked, else the
+        raw optimized params.  ``None`` vs pytree is a structural (trace-
+        time) difference, so jitted eval/predict steps specialize on it."""
+        return self.params if self.ema_params is None else self.ema_params
 
     def replace_lr(self, lr: float) -> "TrainState":
         from .optimizers import set_learning_rate
@@ -36,13 +48,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, rng: jax.Array, sample_input: jax.Array,
-                       optimizer: optax.GradientTransformation) -> TrainState:
+                       optimizer: optax.GradientTransformation,
+                       ema: bool = False) -> TrainState:
     variables = model.init(rng, sample_input, train=False)
     params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
+    # fresh buffers (not aliases of params): the train step donates the
+    # state, and two leaves sharing one donated buffer would alias
+    ema_params = jax.tree.map(jnp.copy, params) if ema else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      batch_stats=batch_stats, opt_state=opt_state)
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      ema_params=ema_params)
 
 
 def _as_target_dict(y) -> tp.Dict[str, jax.Array]:
@@ -86,6 +103,7 @@ def make_train_step(
     seed: int = 0,
     remat: tp.Optional[str] = None,
     accum_steps: int = 1,
+    ema_decay: float = 0.0,
 ) -> tp.Callable:
     """Build the fused train step: forward + DS loss + backward + update +
     metric accumulation, one compiled program.
@@ -101,7 +119,11 @@ def make_train_step(
     microbatch, like N successive small steps), and applies the optimizer
     ONCE.  This is how effective batches grow past the device/compiler
     memory ceiling — e.g. effective 512 = 4 x 128 on v5e where 136+
-    fails to compile.  Composes with ``remat``."""
+    fails to compile.  Composes with ``remat``.
+
+    ``ema_decay`` > 0 (with a state created under ``ema=True``) maintains
+    an exponential moving average of the params inside the same compiled
+    step; eval/predict then run on the EMA shadow (``state.eval_params``)."""
     policy = _remat_policy(remat)
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
@@ -190,6 +212,15 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
+        if state.ema_params is not None and ema_decay > 0.0:
+            # fused into the same compiled step: one multiply-add per
+            # param — negligible next to the conv work
+            d = jnp.asarray(ema_decay, jnp.float32)
+            new_ema = jax.tree.map(
+                lambda e, p: (e * d + p.astype(jnp.float32) * (1.0 - d)
+                              ).astype(e.dtype),
+                state.ema_params, new_params)
+            new_state = new_state.replace(ema_params=new_ema)
         return new_state, loss, new_metric_states
 
     return train_step
@@ -204,7 +235,7 @@ def make_eval_step(
     def eval_step(state: TrainState, x: jax.Array, y,
                   metric_states: tp.Tuple = ()):
         targets = _as_target_dict(y)
-        variables = {"params": state.params}
+        variables = {"params": state.eval_params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         outputs = model.apply(variables, x, train=False)
@@ -223,7 +254,7 @@ def make_eval_step(
 
 def make_predict_step(model) -> tp.Callable:
     def predict_step(state: TrainState, x: jax.Array):
-        variables = {"params": state.params}
+        variables = {"params": state.eval_params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         return model.apply(variables, x, train=False)

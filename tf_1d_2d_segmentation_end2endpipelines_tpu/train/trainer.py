@@ -47,7 +47,10 @@ class Trainer:
         frozen_tokens: tp.Sequence[str] = (),
         remat: tp.Optional[str] = None,
         accum_steps: int = 1,
+        ema_decay: float = 0.0,
     ):
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
         self.model = model
         self.mesh = mesh if mesh is not None else local_mesh()
         self.loss_name = loss
@@ -61,11 +64,17 @@ class Trainer:
             make_metric(m, num_classes=num_classes) for m in metrics]
         self.remat = remat
         self.accum_steps = accum_steps
+        # ema_decay > 0 tracks an EMA shadow of the params inside the train
+        # step; validation/predict/export then run on the shadow weights
+        # (so the monitored val metric and the 'best' checkpoint select on
+        # EMA quality).  New capability over the reference (no Keras EMA).
+        self.ema_decay = ema_decay
         self.seed = seed
         self.state: tp.Optional[TrainState] = None
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        self._tta_steps: tp.Dict[tp.Tuple[str, ...], tp.Callable] = {}
         self.history: tp.Dict[str, tp.List[float]] = {}
 
     # ------------------------------------------------------------ plumbing
@@ -73,7 +82,8 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
         x = jnp.asarray(sample_input)
         self._sample_input = x[:1]  # kept for NaNGuard re-initialization
-        self.state = create_train_state(self.model, rng, x, self.optimizer)
+        self.state = create_train_state(self.model, rng, x, self.optimizer,
+                                        ema=self.ema_decay > 0)
         return self.state
 
     def _build_steps(self):
@@ -82,7 +92,8 @@ class Trainer:
             step = make_train_step(self.model, self.optimizer, self.loss_fn,
                                    self.loss_weights, self.metric_defs,
                                    seed=self.seed, remat=self.remat,
-                                   accum_steps=self.accum_steps)
+                                   accum_steps=self.accum_steps,
+                                   ema_decay=self.ema_decay)
             self._train_step = jax.jit(step, donate_argnums=(0,))
             self._eval_step = jax.jit(
                 make_eval_step(self.model, self.loss_fn, self.loss_weights,
@@ -209,7 +220,8 @@ class Trainer:
                     rng = jax.random.fold_in(
                         jax.random.PRNGKey(self.seed), epoch + 1)
                     self.state = create_train_state(
-                        self.model, rng, self._sample_input, self.optimizer)
+                        self.model, rng, self._sample_input, self.optimizer,
+                        ema=self.ema_decay > 0)
                     recovery = "re-initialized params"
                 self._ensure_state_placement()
                 lr_scale *= guard.lr_factor
@@ -251,10 +263,28 @@ class Trainer:
         return logs
 
     # ------------------------------------------------------------- predict
-    def predict(self, x: np.ndarray) -> tp.Dict[str, np.ndarray]:
+    def predict(self, x: np.ndarray,
+                tta: tp.Sequence[str] = ()) -> tp.Dict[str, np.ndarray]:
+        """Batched inference on the eval weights (EMA shadow when
+        tracked).  ``tta``: invertible view transforms to average over
+        (eval.tta) — all views run in ONE compiled program."""
         assert self.state is not None
         self._build_steps()
         self._ensure_state_placement()
+        step = self._predict_step
+        if tta:
+            tta = tuple(tta)
+            if tta not in self._tta_steps:
+                from ..eval.tta import make_tta_fn
+                from .state import make_predict_step
+                rank = np.asarray(x).ndim - 2  # (B, *spatial, C)
+                base = make_predict_step(self.model)
+
+                def tta_step(state, xb):
+                    return make_tta_fn(lambda v: base(state, v),
+                                       tta, rank=rank)(xb)
+                self._tta_steps[tta] = jax.jit(tta_step)
+            step = self._tta_steps[tta]
         xb = shard_batch(self.mesh, np.asarray(x))
-        out = self._predict_step(self.state, xb)
+        out = step(self.state, xb)
         return jax.tree.map(np.asarray, jax.device_get(out))

@@ -95,6 +95,12 @@ class TrainConfig:
     # pre-writes augmented copies offline, helper_functions.py:480-501;
     # that offline mode is the `tpuseg augment` CLI verb)
     augment: bool = False
+    # exponential moving average of the weights (0 = off).  > 0 tracks an
+    # EMA shadow inside the compiled train step; validation, the 'best'
+    # checkpoint, test/predict/export/serve all use the shadow weights.
+    # New capability over the reference (Keras has no EMA here).  Typical
+    # values 0.99-0.999; see train.state.make_train_step.
+    ema_decay: float = 0.0
     # patching / deep supervision
     patchify: bool = False
     patch_width: int = 64
@@ -142,6 +148,12 @@ class TestConfig:
     # predictions into sklearn's roc_curve; True uses the probability
     # maps the predict step already computes (real swept curves)
     roc_from_scores: bool = False
+    # test-time augmentation: comma list of invertible view transforms
+    # averaged per prediction ('hflip,vflip,hvflip', plus rot90/rot180/
+    # rot270 for square inputs; 'all' = every applicable; '' = off).
+    # All views run in one compiled program (eval.tta).  New capability
+    # over the reference (Test.py predicts each image exactly once).
+    tta: str = ""
 
 
 @dc.dataclass
@@ -201,6 +213,9 @@ class Signal1DConfig:
     seed: int = 1
     compute_dtype: str = "float32"
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
+    ema_decay: float = 0.0   # EMA weight shadow (see TrainConfig)
+    tta: str = ""            # test-time augmentation ('flip'|'all'|'');
+    #                          applied by test1d/predict1d (see TestConfig)
 
 
 _T = tp.TypeVar("_T")
