@@ -222,6 +222,7 @@ def train(config_path: str = "Train_Configs.ini",
             remat=cfg.remat or None,
             accum_steps=cfg.accumulation_steps,
             ema_decay=cfg.ema_decay,
+            zero1=cfg.zero1,
         )
         sample = np.zeros((1, cfg.imlength if not cfg.patchify
                            else cfg.patch_width,
@@ -230,7 +231,7 @@ def train(config_path: str = "Train_Configs.ini",
                            cfg.num_channels), np.float32)
         trainer.init_state(sample)
         ckpt_dir = _fold_dir(cfg, fold)
-        ckpt = CheckpointManager(ckpt_dir)
+        ckpt = CheckpointManager(ckpt_dir, async_save=True)
         if cfg.load_weights and ckpt.exists("best"):
             # resume (Train.py:361-369)
             trainer.state = ckpt.restore(trainer.state, "best")
@@ -683,6 +684,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_fld.add_argument("--val-portion", type=float, default=0.1)
     p_fld.add_argument("--seed", type=int, default=1)
     args = parser.parse_args(argv)
+    # production launch plumbing (both opt-in via env, utils/multihost.py):
+    # TPUSEG_MULTIHOST=1 -> jax.distributed.initialize() for pod runs;
+    # TPUSEG_COMPILE_CACHE=dir -> persistent XLA compile cache
+    from .utils.multihost import (maybe_enable_compile_cache,
+                                  maybe_initialize_distributed)
+    maybe_initialize_distributed()
+    maybe_enable_compile_cache()
     if args.cmd == "train":
         train(args.config)
     elif args.cmd == "train1d":

@@ -135,10 +135,12 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         mesh=mesh,
         seed=cfg.seed,
         ema_decay=cfg.ema_decay,
+        zero1=cfg.zero1,
     )
     trainer.init_state(x[: min(len(x), cfg.batch_size)])
 
-    ckpt = CheckpointManager(cfg.save_dir) if cfg.save_dir else None
+    ckpt = CheckpointManager(cfg.save_dir, async_save=True) \
+        if cfg.save_dir else None
     if ckpt is not None and cfg.load_weights and ckpt.exists("best"):
         trainer.state = ckpt.restore(trainer.state, "best")
         print(f"resumed from {cfg.save_dir}/best", flush=True)

@@ -1,5 +1,11 @@
 """Device-mesh + sharding helpers."""
 
+from .distributed import (  # noqa: F401
+    DistributedLoader,
+    global_batch,
+    process_shard_indices,
+    shard_dataset_for_process,
+)
 from .mesh import (  # noqa: F401
     batch_sharding,
     data_parallel_shardings,
@@ -15,7 +21,11 @@ from .pipeline import (  # noqa: F401
     stack_stage_params,
     unstack_stage_params,
 )
-from .sharding_rules import param_shardings, state_shardings  # noqa: F401
+from .sharding_rules import (  # noqa: F401
+    param_shardings,
+    state_shardings,
+    zero1_state_shardings,
+)
 from .spatial import (  # noqa: F401
     length_sharded_batches,
     signal_windows,

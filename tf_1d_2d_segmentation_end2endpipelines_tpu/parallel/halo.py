@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _exchange_rows(x: jax.Array, halo: int, axis_name: str) -> jax.Array:
@@ -114,6 +114,6 @@ def halo_sharded_inference(model, variables, image, mesh,
         local, mesh=mesh,
         in_specs=P(None, axis, None, None),
         out_specs=P(None, axis, None, None),
-        check_rep=False)
+        check_vma=False)
     out = fn(x)
     return out[:, halo:-halo]

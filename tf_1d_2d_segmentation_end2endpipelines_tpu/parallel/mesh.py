@@ -97,6 +97,10 @@ def shard_batch(mesh: Mesh, batch):
     data_size = mesh.shape["data"] * mesh.shape.get("slice", 1)
 
     def _put(x):
+        if isinstance(x, jax.Array) and x.committed:
+            # already globally placed (e.g. DistributedLoader output, or a
+            # multi-host global batch no single host could materialize)
+            return x
         if np.ndim(x) >= 1 and np.shape(x)[0] % data_size == 0:
             return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
         return jax.device_put(x, replicated(mesh))

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def make_pipeline_mesh(
@@ -134,5 +134,5 @@ def pipeline_apply(stage_fn: tp.Callable[[tp.Any, jax.Array], jax.Array],
         return jax.lax.psum(outputs, axis)
 
     fn = shard_map(local, mesh=mesh, in_specs=(P(axis), P()),
-                   out_specs=P(), check_rep=False)
+                   out_specs=P(), check_vma=False)
     return fn(stage_params, xm).reshape(B, *out_aval.shape[1:])

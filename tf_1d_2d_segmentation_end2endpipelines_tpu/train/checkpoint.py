@@ -15,15 +15,28 @@ from .state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, async_save: bool = False):
         # no retention policy: each named checkpoint ("best", "last", ...)
         # overwrites in place, matching Keras ModelCheckpoint(save_best_only)
+        #
+        # async_save=True overlaps the checkpoint commit (host gather +
+        # disk write) with subsequent training steps: ``save`` returns as
+        # soon as orbax has snapshotted the device arrays, and the write
+        # completes on orbax's background thread.  ``wait``/``restore``/
+        # a following ``save`` join the in-flight commit first, so the
+        # on-disk artifact is always consistent.  The Trainer enables this
+        # for best-checkpoint saves during fit and joins before returning.
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
+
+    def wait(self) -> None:
+        """Join any in-flight async save (idempotent)."""
+        self._ckptr.wait_until_finished()
 
     def save(self, state: TrainState, name: str = "best") -> str:
         """Save model weights (params + batch_stats).
@@ -39,9 +52,12 @@ class CheckpointManager:
             # export run (which may build a plain Trainer) still gets the
             # weights the training run selected on
             payload["ema_params"] = state.ema_params
+        # join the previous async commit before overwriting the same tree
+        self.wait()
         # overwrite semantics: Keras ModelCheckpoint replaces the file
         self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self.wait()
         return path
 
     def restore(self, state: TrainState, name: str = "best") -> TrainState:
@@ -52,6 +68,7 @@ class CheckpointManager:
         import jax
         import jax.numpy as jnp
 
+        self.wait()  # a mid-flight async save must land before reading
         path = self._path(name)
         target = {"params": state.params, "batch_stats": state.batch_stats}
         if state.ema_params is not None:
@@ -75,4 +92,5 @@ class CheckpointManager:
                              ema_params=payload.get("ema_params"))
 
     def exists(self, name: str = "best") -> bool:
+        self.wait()  # an in-flight commit hasn't finalized its dir yet
         return os.path.isdir(self._path(name))

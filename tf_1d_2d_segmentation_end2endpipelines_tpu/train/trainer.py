@@ -32,6 +32,13 @@ from .state import (TrainState, create_train_state, make_eval_step,
 BatchIter = tp.Callable[[], tp.Iterable[tp.Tuple[np.ndarray, tp.Any]]]
 
 
+def _as_batch(x):
+    """Host batches become numpy; global jax.Arrays (DistributedLoader /
+    multi-host pipelines) pass through — a pod host cannot materialize
+    the global batch, and shard_batch leaves committed arrays alone."""
+    return x if isinstance(x, jax.Array) else np.asarray(x)
+
+
 class Trainer:
     def __init__(
         self,
@@ -48,6 +55,7 @@ class Trainer:
         remat: tp.Optional[str] = None,
         accum_steps: int = 1,
         ema_decay: float = 0.0,
+        zero1: bool = False,
     ):
         if not 0.0 <= ema_decay < 1.0:
             raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
@@ -69,6 +77,11 @@ class Trainer:
         # (so the monitored val metric and the 'best' checkpoint select on
         # EMA quality).  New capability over the reference (no Keras EMA).
         self.ema_decay = ema_decay
+        # zero1=True shards the optimizer state over the 'data' axis
+        # (ZeRO-1): per-device optimizer memory drops by ~the data-axis
+        # size; XLA derives the reduce-scatter/gather pattern from the
+        # sharding annotations inside the one jitted step.
+        self.zero1 = zero1
         self.seed = seed
         self.state: tp.Optional[TrainState] = None
         self._train_step = None
@@ -94,6 +107,19 @@ class Trainer:
                                    seed=self.seed, remat=self.remat,
                                    accum_steps=self.accum_steps,
                                    ema_decay=self.ema_decay)
+            if self.zero1:
+                # pin the OUTPUT state to the ZeRO-1 placement: without the
+                # constraint GSPMD propagates the moments' 'data' sharding
+                # onto the updated params, silently drifting into a
+                # ZeRO-3-like layout (params re-gathered every forward)
+                from ..parallel import zero1_state_shardings
+                base_step, mesh = step, self.mesh
+
+                def step(state, x, y, mstates, _base=base_step):
+                    new_state, loss, ms = _base(state, x, y, mstates)
+                    new_state = jax.lax.with_sharding_constraint(
+                        new_state, zero1_state_shardings(mesh, new_state))
+                    return new_state, loss, ms
             self._train_step = jax.jit(step, donate_argnums=(0,))
             self._eval_step = jax.jit(
                 make_eval_step(self.model, self.loss_fn, self.loss_weights,
@@ -110,7 +136,11 @@ class Trainer:
         (parallel.state_shardings) — tensor parallelism through the
         plain Trainer/driver surface."""
         import jax as _jax
-        if self.mesh.shape.get("model", 1) > 1:
+        if self.zero1:
+            from ..parallel import zero1_state_shardings
+            self.state = _jax.device_put(
+                self.state, zero1_state_shardings(self.mesh, self.state))
+        elif self.mesh.shape.get("model", 1) > 1:
             from ..parallel import state_shardings
             self.state = _jax.device_put(
                 self.state, state_shardings(self.mesh, self.state))
@@ -170,7 +200,7 @@ class Trainer:
             losses = []
             nbatch = 0
             for x, y in train_data():
-                batch = shard_batch(self.mesh, {"x": np.asarray(x), "y": y})
+                batch = shard_batch(self.mesh, {"x": _as_batch(x), "y": y})
                 self.state, loss, mstates = self._train_step(
                     self.state, batch["x"], batch["y"], mstates)
                 losses.append(loss)
@@ -190,7 +220,7 @@ class Trainer:
                 vlosses = []
                 for x, y in val_data():
                     batch = shard_batch(self.mesh,
-                                        {"x": np.asarray(x), "y": y})
+                                        {"x": _as_batch(x), "y": y})
                     vloss, _, vstates = self._eval_step(
                         self.state, batch["x"], batch["y"], vstates)
                     vlosses.append(vloss)
@@ -244,6 +274,8 @@ class Trainer:
                         print(f"Early stopping at epoch {epoch + 1}",
                               flush=True)
                     break
+        if checkpoint is not None:
+            checkpoint.wait()  # async best-save must be durable before fit returns
         return self.history
 
     # ------------------------------------------------------------ evaluate
@@ -254,7 +286,7 @@ class Trainer:
         mstates = self._metric_init()
         losses = []
         for x, y in data():
-            batch = shard_batch(self.mesh, {"x": np.asarray(x), "y": y})
+            batch = shard_batch(self.mesh, {"x": _as_batch(x), "y": y})
             loss, _, mstates = self._eval_step(self.state, batch["x"],
                                                batch["y"], mstates)
             losses.append(loss)

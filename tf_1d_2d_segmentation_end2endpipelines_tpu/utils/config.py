@@ -90,6 +90,12 @@ class TrainConfig:
     # (parallel.sharding_rules); devices must be divisible.  1 = pure
     # data parallelism over all devices (the default)
     model_parallel: int = 1
+    # ZeRO-1 optimizer-state sharding: shard optax moments over the
+    # 'data' axis (per-device optimizer memory / data-axis size); exact
+    # same numbers as replicated dp — XLA derives the reduce-scatter
+    # pattern from the sharding annotations (parallel.sharding_rules.
+    # zero1_state_shardings).  Composes with model_parallel.
+    zero1: bool = False
     # on-the-fly training augmentation (flips/rot90/shift-scale-rotate/
     # brightness via data.generators.augment_pair — the reference instead
     # pre-writes augmented copies offline, helper_functions.py:480-501;
@@ -213,6 +219,7 @@ class Signal1DConfig:
     seed: int = 1
     compute_dtype: str = "float32"
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
+    zero1: bool = False      # ZeRO-1 opt-state sharding (see TrainConfig)
     ema_decay: float = 0.0   # EMA weight shadow (see TrainConfig)
     tta: str = ""            # test-time augmentation ('flip'|'all'|'');
     #                          applied by test1d/predict1d (see TestConfig)
