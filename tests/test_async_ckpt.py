@@ -68,6 +68,69 @@ def test_back_to_back_async_saves_keep_latest(tmp_path):
                  jax.device_get(restored.params))
 
 
+def test_previous_best_survives_inflight_async_save(tmp_path):
+    """While a new async save commits in the background, the PREVIOUS
+    best must stay intact on disk (a kill mid-commit loses nothing):
+    the commit targets a .staging sibling and only the post-commit join
+    swaps it in."""
+    import os
+    x, y = _data()
+    tr = _trained(x, y)
+    ckpt = CheckpointManager(str(tmp_path), async_save=True)
+    ckpt.save(tr.state, "best")
+    ckpt.wait()
+    final = str(tmp_path / "best")
+    assert os.path.isdir(final)
+    ckpt.save(tr.state, "best")  # second commit in flight
+    # no join yet: the old final dir must still be there
+    assert os.path.isdir(final)
+    ckpt.wait()
+    assert os.path.isdir(final)
+    assert not os.path.isdir(final + ".staging")
+
+
+def test_fresh_manager_adopts_orphaned_staging(tmp_path):
+    """A process killed after the background commit but before the swap
+    leaves a complete .staging dir; a fresh manager must adopt it (it is
+    the NEWER checkpoint)."""
+    x, y = _data()
+    tr = _trained(x, y)
+    old = CheckpointManager(str(tmp_path))
+    old.save(tr.state, "best")
+    tr.fit(batches(x, y, 4), epochs=1, verbose=0)  # newer weights
+    # simulate the orphan: a completed commit sitting at best.staging
+    stage_writer = CheckpointManager(str(tmp_path))
+    stage_writer.save(tr.state, "best.staging")
+
+    fresh = CheckpointManager(str(tmp_path))
+    tr2 = Trainer(_TinyNet(), loss="BinaryCrossentropy")
+    tr2.init_state(x[:4])
+    restored = fresh.restore(tr2.state, "best")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 jax.device_get(tr.state.params),
+                 jax.device_get(restored.params))
+
+
+def test_fresh_manager_recovers_mid_swap_kill(tmp_path):
+    """Killed between rename(final -> old) and rename(staging -> final):
+    only best.old remains; a fresh manager must fall back to it."""
+    import os
+    x, y = _data()
+    tr = _trained(x, y)
+    m = CheckpointManager(str(tmp_path))
+    m.save(tr.state, "best")
+    os.rename(str(tmp_path / "best"), str(tmp_path / "best.old"))
+
+    fresh = CheckpointManager(str(tmp_path))
+    assert fresh.exists("best")
+    tr2 = Trainer(_TinyNet(), loss="BinaryCrossentropy")
+    tr2.init_state(x[:4])
+    restored = fresh.restore(tr2.state, "best")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 jax.device_get(tr.state.params),
+                 jax.device_get(restored.params))
+
+
 def test_fit_returns_with_durable_async_best(tmp_path):
     """fit() with an async manager must join the commit before returning:
     a FRESH manager (new orbax handle, no shared in-flight state) restores

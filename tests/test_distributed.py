@@ -18,13 +18,16 @@ from tf_1d_2d_segmentation_end2endpipelines_tpu.train import Trainer
 
 
 def test_process_shard_partition_math():
-    """Strided shards are disjoint, covering, and balanced to within 1."""
+    """Strided shards are disjoint, EXACTLY equal-sized (a process with
+    one extra example would run one extra step and deadlock the others'
+    collectives), and cover all but the n mod P tail."""
     n, P = 103, 8
     shards = [process_shard_indices(n, p, P) for p in range(P)]
     all_idx = np.concatenate(shards)
-    assert len(all_idx) == n and len(set(all_idx.tolist())) == n
+    assert len(set(all_idx.tolist())) == len(all_idx)
     sizes = [len(s) for s in shards]
-    assert max(sizes) - min(sizes) <= 1
+    assert sizes == [n // P] * P
+    assert len(all_idx) == n - n % P
     # stability: appending data never reshuffles earlier assignments
     grown = process_shard_indices(n + P, 3, P)
     np.testing.assert_array_equal(grown[:len(shards[3])], shards[3])
@@ -45,10 +48,10 @@ def test_shard_dataset_for_process():
             return np.full((2, 1), i), np.full((2, 1), -i)
 
     ds = _FakeDS()
-    s1 = shard_dataset_for_process(ds, 1, 4)  # indices 1, 5, 9
-    assert len(s1) == 3
-    img, msk = s1.load_pair(2)
-    assert img[0, 0] == 9 and msk[0, 0] == -9
+    s1 = shard_dataset_for_process(ds, 1, 4)  # indices 1, 5 (floor(10/4)=2)
+    assert len(s1) == 2
+    img, msk = s1.load_pair(1)
+    assert img[0, 0] == 5 and msk[0, 0] == -5
     # single process: identity view
     s_all = shard_dataset_for_process(ds, 0, 1)
     assert len(s_all) == 10

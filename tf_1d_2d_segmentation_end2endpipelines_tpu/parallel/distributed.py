@@ -36,14 +36,26 @@ def process_shard_indices(n: int,
                           process_count: tp.Optional[int] = None
                           ) -> np.ndarray:
     """Strided partition of ``range(n)`` for this process: process ``p``
-    of ``P`` takes ``p, p+P, p+2P, ...`` — disjoint across processes,
-    covering, balanced to within one example, and stable under growing
-    datasets (appending files never reshuffles earlier assignments)."""
+    of ``P`` takes ``p, p+P, p+2P, ...``, truncated to ``floor(n/P)``
+    entries so EVERY process gets exactly the same count.
+
+    Equal counts are load-bearing, not cosmetic: each process drives its
+    own loader, and a process with one extra example would run one more
+    step — its collectives would wait forever on peers that already
+    finished the epoch.  Equal shard lengths (with a shared batch size)
+    also make every remainder batch the same shape on every host, which
+    ``jax.make_array_from_process_local_data`` requires.  The cost is
+    dropping ``n mod P`` examples per epoch (shuffle seeds rotate which
+    ones across epochs when the caller reshuffles).
+
+    Shards are disjoint and stable under growth (appending files never
+    reshuffles earlier assignments).
+    """
     p = jax.process_index() if process_index is None else process_index
     c = jax.process_count() if process_count is None else process_count
     if not 0 <= p < c:
         raise ValueError(f"process_index {p} not in [0, {c})")
-    return np.arange(p, n, c)
+    return np.arange(p, n, c)[: n // c]
 
 
 def shard_dataset_for_process(dataset,

@@ -81,8 +81,9 @@ def zero1_state_shardings(mesh: Mesh, state) -> tp.Any:
         spec += [None] * (len(shape) - len(spec))
         if data_size > 1:
             for ax in range(len(shape) - 1, -1, -1):
-                if spec[ax] is None and shape[ax] % data_size == 0 \
-                        and shape[ax] >= data_size:
+                # nonzero + divisible implies shape[ax] >= data_size
+                if spec[ax] is None and shape[ax] \
+                        and shape[ax] % data_size == 0:
                     spec[ax] = "data"
                     break
         return NamedSharding(mesh, P(*spec))

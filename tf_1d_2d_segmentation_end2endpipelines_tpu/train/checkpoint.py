@@ -8,6 +8,7 @@ monitored metric (callbacks.BestTracker).
 from __future__ import annotations
 
 import os
+import shutil
 
 import orbax.checkpoint as ocp
 
@@ -20,23 +21,52 @@ class CheckpointManager:
         # overwrites in place, matching Keras ModelCheckpoint(save_best_only)
         #
         # async_save=True overlaps the checkpoint commit (host gather +
-        # disk write) with subsequent training steps: ``save`` returns as
-        # soon as orbax has snapshotted the device arrays, and the write
-        # completes on orbax's background thread.  ``wait``/``restore``/
-        # a following ``save`` join the in-flight commit first, so the
-        # on-disk artifact is always consistent.  The Trainer enables this
-        # for best-checkpoint saves during fit and joins before returning.
+        # disk write) with subsequent training steps.  Durability: the
+        # commit targets a ``{name}.staging`` sibling (orbax renames its
+        # tmpdir onto that path only when COMPLETE), and the previous
+        # final dir is replaced only at the next join — so a kill at any
+        # point leaves a consistent checkpoint on disk (the old one until
+        # the new one has fully landed; a plain force=True overwrite
+        # would instead delete the old tree up front and widen the
+        # no-checkpoint crash window to a whole epoch).  ``wait`` /
+        # ``restore`` / ``exists`` / a following ``save`` all join +
+        # swap first; a FRESH manager adopts an orphaned staging dir
+        # from a killed process.  The Trainer joins before fit returns.
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
         self.async_save = async_save
+        self._pending: set = set()
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    def _finalize(self, name: str) -> None:
+        """Swap a fully-committed staging dir into place; recover from a
+        kill at any intermediate point (staging presence == complete,
+        because orbax's own tmpdir rename onto it is atomic)."""
+        final = self._path(name)
+        staging = final + ".staging"
+        old = final + ".old"
+        if not os.path.isdir(staging):
+            if not os.path.isdir(final) and os.path.isdir(old):
+                os.rename(old, final)  # killed mid-swap last time
+            return
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(staging, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
     def wait(self) -> None:
-        """Join any in-flight async save (idempotent)."""
+        """Join any in-flight async save and swap it into place
+        (idempotent)."""
         self._ckptr.wait_until_finished()
+        for name in list(self._pending):
+            self._finalize(name)
+        self._pending.clear()
 
     def save(self, state: TrainState, name: str = "best") -> str:
         """Save model weights (params + batch_stats).
@@ -52,11 +82,16 @@ class CheckpointManager:
             # export run (which may build a plain Trainer) still gets the
             # weights the training run selected on
             payload["ema_params"] = state.ema_params
-        # join the previous async commit before overwriting the same tree
+        # join + swap the previous async commit before starting a new one
+        # (orbax also joins internally, but the staging->final swap is
+        # this manager's responsibility)
         self.wait()
-        # overwrite semantics: Keras ModelCheckpoint replaces the file
-        self._ckptr.save(path, payload, force=True)
-        if not self.async_save:
+        if self.async_save:
+            self._ckptr.save(path + ".staging", payload, force=True)
+            self._pending.add(name)
+        else:
+            # overwrite semantics: Keras ModelCheckpoint replaces the file
+            self._ckptr.save(path, payload, force=True)
             self.wait()
         return path
 
@@ -69,6 +104,7 @@ class CheckpointManager:
         import jax.numpy as jnp
 
         self.wait()  # a mid-flight async save must land before reading
+        self._finalize(name)  # adopt an orphaned staging (killed process)
         path = self._path(name)
         target = {"params": state.params, "batch_stats": state.batch_stats}
         if state.ema_params is not None:
@@ -93,4 +129,5 @@ class CheckpointManager:
 
     def exists(self, name: str = "best") -> bool:
         self.wait()  # an in-flight commit hasn't finalized its dir yet
+        self._finalize(name)  # adopt an orphaned staging (killed process)
         return os.path.isdir(self._path(name))

@@ -29,8 +29,12 @@ def maybe_initialize_distributed() -> bool:
         return False
     import jax
 
-    if jax.process_count() > 1:  # already initialized by the launcher
-        return False
+    # NB: must not touch the backend first — jax.process_count()/
+    # jax.devices() initialize XLA, after which initialize() raises
+    # ("must be called before any JAX calls").  Probe the distributed
+    # client state directly instead.
+    if jax.distributed.is_initialized():
+        return False  # launcher already initialized it
     jax.distributed.initialize()
     return True
 
