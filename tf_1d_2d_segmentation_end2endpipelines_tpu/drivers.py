@@ -223,6 +223,9 @@ def train(config_path: str = "Train_Configs.ini",
             accum_steps=cfg.accumulation_steps,
             ema_decay=cfg.ema_decay,
             zero1=cfg.zero1,
+            clipnorm=cfg.clipnorm,
+            clipvalue=cfg.clipvalue,
+            global_clipnorm=cfg.global_clipnorm,
         )
         sample = np.zeros((1, cfg.imlength if not cfg.patchify
                            else cfg.patch_width,
@@ -254,6 +257,9 @@ def train(config_path: str = "Train_Configs.ini",
             ],
             checkpoint=ckpt,
             monitor=monitor,
+            tensorboard_dir=(os.path.join(cfg.tensorboard_dir,
+                                          f"Fold_{fold}")
+                             if cfg.tensorboard_dir else None),
         )
         histories[fold] = history
         if cfg.save_history:

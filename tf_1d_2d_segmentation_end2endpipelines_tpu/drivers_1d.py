@@ -136,6 +136,9 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         seed=cfg.seed,
         ema_decay=cfg.ema_decay,
         zero1=cfg.zero1,
+        clipnorm=cfg.clipnorm,
+        clipvalue=cfg.clipvalue,
+        global_clipnorm=cfg.global_clipnorm,
     )
     trainer.init_state(x[: min(len(x), cfg.batch_size)])
 
@@ -163,6 +166,7 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         ],
         checkpoint=ckpt,
         monitor=monitor,
+        tensorboard_dir=cfg.tensorboard_dir or None,
     )
     if cfg.save_history and cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "history.json"), "w") as f:

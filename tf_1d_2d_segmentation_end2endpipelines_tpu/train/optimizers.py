@@ -51,10 +51,40 @@ def _ftrl(learning_rate: float, learning_rate_power: float = -0.5,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def make_optimizer(name: str, learning_rate: float
+def _clip_by_per_variable_norm(max_norm: float
+                               ) -> optax.GradientTransformation:
+    """Keras ``clipnorm`` semantics: clip each variable's gradient to
+    ``max_norm`` by ITS OWN L2 norm (optax's built-in clips the global
+    norm, which is Keras ``global_clipnorm``)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def _clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree.map(_clip, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
+def make_optimizer(name: str, learning_rate: float,
+                   clipnorm: float = 0.0, clipvalue: float = 0.0,
+                   global_clipnorm: float = 0.0
                    ) -> optax.GradientTransformation:
     """Build an optimizer by the reference's name string, wrapped in
-    ``inject_hyperparams`` so the LR is runtime-adjustable (RLRoP)."""
+    ``inject_hyperparams`` so the LR is runtime-adjustable (RLRoP).
+
+    Gradient clipping (0 = off) follows the Keras optimizer kwargs the
+    reference's registry doesn't expose but production training needs:
+    ``clipnorm`` (per-variable L2), ``clipvalue`` (elementwise),
+    ``global_clipnorm`` (whole-gradient L2, optax clip_by_global_norm).
+    Clips apply to the raw gradients BEFORE the optimizer statistics,
+    matching Keras's base-optimizer order.
+    """
     key = name
 
     if key == "Adam":
@@ -84,6 +114,20 @@ def make_optimizer(name: str, learning_rate: float
         raise ValueError(
             "Please select a valid optimizer. Check for spelling mistakes, "
             f"capital/small letters, etc. (got {name!r})")
+
+    clips = []
+    if global_clipnorm:
+        clips.append(optax.clip_by_global_norm(global_clipnorm))
+    if clipnorm:
+        clips.append(_clip_by_per_variable_norm(clipnorm))
+    if clipvalue:
+        clips.append(optax.clip(clipvalue))
+    if clips:
+        # chain inside the injected factory so the InjectHyperparams
+        # state (the runtime-LR hook) stays the outermost state
+        base_fac = fac
+        fac = lambda learning_rate: optax.chain(
+            *clips, base_fac(learning_rate))
     return optax.inject_hyperparams(fac)(learning_rate=learning_rate)
 
 

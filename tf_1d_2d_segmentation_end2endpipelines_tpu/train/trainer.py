@@ -56,6 +56,9 @@ class Trainer:
         accum_steps: int = 1,
         ema_decay: float = 0.0,
         zero1: bool = False,
+        clipnorm: float = 0.0,
+        clipvalue: float = 0.0,
+        global_clipnorm: float = 0.0,
     ):
         if not 0.0 <= ema_decay < 1.0:
             raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
@@ -64,7 +67,9 @@ class Trainer:
         self.loss_name = loss
         self.loss_fn = get_loss(loss)
         self.loss_weights = loss_weights
-        self.optimizer = make_optimizer(optimizer, learning_rate)
+        self.optimizer = make_optimizer(
+            optimizer, learning_rate, clipnorm=clipnorm,
+            clipvalue=clipvalue, global_clipnorm=global_clipnorm)
         if frozen_tokens:
             from .optimizers import freeze_subtrees
             self.optimizer = freeze_subtrees(self.optimizer, frozen_tokens)
@@ -168,8 +173,17 @@ class Trainer:
         verbose: int = 1,
         profile_dir: tp.Optional[str] = None,
         profile_epoch: int = 1,
+        tensorboard_dir: tp.Optional[str] = None,
     ) -> tp.Dict[str, tp.List[float]]:
         assert self.state is not None, "call init_state(sample) first"
+        # optional TensorBoard scalars (new observability surface; the
+        # reference logs only Keras progress bars + an h5 history,
+        # Train.py:397/425-430).  TF is imported lazily — only the epoch
+        # boundary touches it, never the compiled step.
+        tb_writer = None
+        if tensorboard_dir:
+            import tensorflow as _tf
+            tb_writer = _tf.summary.create_file_writer(tensorboard_dir)
         self._build_steps()
         self._ensure_state_placement()
         early = next((c for c in callbacks if isinstance(c, EarlyStopping)),
@@ -231,6 +245,12 @@ class Trainer:
             logs["epoch_time"] = time.time() - t0
             for k, v in logs.items():
                 self.history.setdefault(k, []).append(v)
+            if tb_writer is not None:
+                import tensorflow as _tf
+                with tb_writer.as_default():
+                    for k, v in logs.items():
+                        _tf.summary.scalar(k, v, step=epoch)
+                tb_writer.flush()
             if verbose:
                 msg = " - ".join(f"{k}: {v:.5g}" for k, v in logs.items())
                 print(f"Epoch {epoch + 1}/{epochs} [{nbatch} steps] {msg}",

@@ -96,6 +96,16 @@ class TrainConfig:
     # pattern from the sharding annotations (parallel.sharding_rules.
     # zero1_state_shardings).  Composes with model_parallel.
     zero1: bool = False
+    # gradient clipping (0 = off), Keras optimizer-kwarg semantics the
+    # reference's registry doesn't expose: clipnorm = per-variable L2,
+    # clipvalue = elementwise, global_clipnorm = whole-gradient L2
+    clipnorm: float = 0.0
+    clipvalue: float = 0.0
+    global_clipnorm: float = 0.0
+    # TensorBoard scalar logging ('' = off): per-epoch loss/metrics/LR
+    # event files under {tensorboard_dir}/Fold_i (new observability
+    # surface; the reference has only Keras progress bars + h5 history)
+    tensorboard_dir: str = ""
     # on-the-fly training augmentation (flips/rot90/shift-scale-rotate/
     # brightness via data.generators.augment_pair — the reference instead
     # pre-writes augmented copies offline, helper_functions.py:480-501;
@@ -220,6 +230,10 @@ class Signal1DConfig:
     compute_dtype: str = "float32"
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
     zero1: bool = False      # ZeRO-1 opt-state sharding (see TrainConfig)
+    clipnorm: float = 0.0        # gradient clipping (see TrainConfig)
+    clipvalue: float = 0.0
+    global_clipnorm: float = 0.0
+    tensorboard_dir: str = ""    # TensorBoard scalars (see TrainConfig)
     ema_decay: float = 0.0   # EMA weight shadow (see TrainConfig)
     tta: str = ""            # test-time augmentation ('flip'|'all'|'');
     #                          applied by test1d/predict1d (see TestConfig)
