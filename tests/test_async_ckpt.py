@@ -131,6 +131,23 @@ def test_fresh_manager_recovers_mid_swap_kill(tmp_path):
                  jax.device_get(restored.params))
 
 
+def test_finalize_swap_is_primary_process_only(tmp_path, monkeypatch):
+    """On a pod, only process 0 may rename on the shared filesystem —
+    a non-primary process's _finalize must be a strict no-op."""
+    import os
+    x, y = _data()
+    tr = _trained(x, y)
+    m = CheckpointManager(str(tmp_path))
+    m.save(tr.state, "best.staging")  # a committed staging dir
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    m._finalize("best")
+    assert os.path.isdir(str(tmp_path / "best.staging"))
+    assert not os.path.isdir(str(tmp_path / "best"))
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    m._finalize("best")
+    assert os.path.isdir(str(tmp_path / "best"))
+
+
 def test_fit_returns_with_durable_async_best(tmp_path):
     """fit() with an async manager must join the commit before returning:
     a FRESH manager (new orbax handle, no shared in-flight state) restores

@@ -6,6 +6,7 @@ from .synthetic import batches, synthetic_images, synthetic_signals  # noqa: F40
 from .generators import (  # noqa: F401
     PrefetchLoader,
     SegmentationFolderDataset,
+    augment_dataset,
     augment_pair,
     create_folds,
 )

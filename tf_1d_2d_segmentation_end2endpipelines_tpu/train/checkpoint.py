@@ -44,7 +44,16 @@ class CheckpointManager:
     def _finalize(self, name: str) -> None:
         """Swap a fully-committed staging dir into place; recover from a
         kill at any intermediate point (staging presence == complete,
-        because orbax's own tmpdir rename onto it is atomic)."""
+        because orbax's own tmpdir rename onto it is atomic).
+
+        Multi-host: exactly ONE process may perform the renames on the
+        shared filesystem (concurrent swaps would race); orbax itself
+        already routes the commit through the primary, and
+        wait_until_finished() has synchronized all hosts by the time
+        this runs, so non-primary processes simply skip."""
+        import jax
+        if jax.process_index() != 0:
+            return
         final = self._path(name)
         staging = final + ".staging"
         old = final + ".old"
