@@ -110,11 +110,14 @@ def _restore_trainer(cfg: TrainConfig, ckpt_dir: str, action: str,
 
 def _training_mesh(cfg):
     """The mesh the INI requests: None (Trainer's dp-over-all-devices
-    default) unless ``model_parallel`` > 1, which adds the tensor-parallel
-    'model' axis (shared by the 2D and 1D train drivers)."""
-    if getattr(cfg, "model_parallel", 1) > 1:
+    default) unless ``model_parallel`` > 1 (tensor-parallel 'model' axis)
+    or ``spatial_parallel`` > 1 (GSPMD H/L-axis partitioning, 'spatial'
+    axis); shared by the 2D and 1D train drivers."""
+    model = getattr(cfg, "model_parallel", 1)
+    spatial = getattr(cfg, "spatial_parallel", 1)
+    if model > 1 or spatial > 1:
         from .parallel import make_mesh
-        return make_mesh(model=cfg.model_parallel)
+        return make_mesh(model=model, spatial=spatial)
     return None
 
 

@@ -22,21 +22,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(devices: tp.Optional[tp.Sequence[jax.Device]] = None,
-              data: int = -1, model: int = 1,
-              axis_names: tp.Tuple[str, str] = ("data", "model")) -> Mesh:
-    """Build a 2D ('data', 'model') mesh.  ``data=-1`` consumes all devices
-    not used by ``model``."""
+              data: int = -1, model: int = 1, spatial: int = 1,
+              axis_names: tp.Optional[tp.Tuple[str, ...]] = None) -> Mesh:
+    """Build a ('data', 'model') mesh — or ('data', 'spatial', 'model')
+    when ``spatial > 1``.  ``data=-1`` consumes all devices not used by
+    the other axes.
+
+    The 'spatial' axis shards the H axis of image batches (the L axis of
+    signal batches): params stay replicated over it while GSPMD partitions
+    every conv/pool/norm along the sharded dimension, inserting the halo
+    exchanges and partial-reduction collectives itself — the XLA-native
+    generalization of the hand-written overlap-tile path in
+    ``parallel/halo.py``, and it trains (gradients flow through the
+    partitioned ops).  Numerically identical to pure dp (see
+    tests/test_spatial_train.py); use it when one image/sequence shard is
+    too tall for a chip's HBM at a useful batch size.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+        if n % (model * spatial):
+            raise ValueError(
+                f"{n} devices not divisible by model={model}*spatial={spatial}")
+        data = n // (model * spatial)
+    if data * model * spatial != n:
+        raise ValueError(f"mesh {data}x{spatial}x{model} != {n} devices")
+    if spatial > 1:
+        arr = np.asarray(devices).reshape(data, spatial, model)
+        return Mesh(arr, axis_names or ("data", "spatial", "model"))
     arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, axis_names)
+    return Mesh(arr, axis_names or ("data", "model"))
 
 
 def local_mesh() -> Mesh:
@@ -77,10 +93,20 @@ def _batch_axes(mesh: Mesh):
     return (("slice", "data") if "slice" in mesh.axis_names else "data")
 
 
+def _spatial_size(mesh: Mesh) -> int:
+    return mesh.shape["spatial"] if "spatial" in mesh.axis_names else 1
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) axis over 'data' (and 'slice' when the
-    mesh has one); replicate the rest."""
-    return NamedSharding(mesh, P(_batch_axes(mesh), *([None] * (ndim - 1))))
+    mesh has one); on a mesh with a 'spatial' axis, additionally shard
+    axis 1 — H of (B, H, W, C) images, L of (B, L, C) signals — over it;
+    replicate the rest."""
+    spec = [None] * ndim
+    spec[0] = _batch_axes(mesh)
+    if ndim >= 3 and _spatial_size(mesh) > 1:
+        spec[1] = "spatial"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -96,13 +122,22 @@ def shard_batch(mesh: Mesh, batch):
     """
     data_size = mesh.shape["data"] * mesh.shape.get("slice", 1)
 
+    spatial = _spatial_size(mesh)
+
     def _put(x):
         if isinstance(x, jax.Array) and x.committed:
             # already globally placed (e.g. DistributedLoader output, or a
             # multi-host global batch no single host could materialize)
             return x
-        if np.ndim(x) >= 1 and np.shape(x)[0] % data_size == 0:
-            return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        nd, shape = np.ndim(x), np.shape(x)
+        if nd >= 1 and shape[0] % data_size == 0:
+            if nd >= 3 and spatial > 1 and shape[1] % spatial == 0:
+                return jax.device_put(x, batch_sharding(mesh, nd))
+            # spatial-indivisible leaf (e.g. an odd-height DS pyramid
+            # level): keep the batch axis sharded, replicate over 'spatial'
+            spec = [None] * nd
+            spec[0] = _batch_axes(mesh)
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
         return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(_put, batch)

@@ -90,6 +90,12 @@ class TrainConfig:
     # (parallel.sharding_rules); devices must be divisible.  1 = pure
     # data parallelism over all devices (the default)
     model_parallel: int = 1
+    # spatial parallelism: size of the mesh 'spatial' axis.  The image's
+    # H axis shards over it (params replicated); GSPMD partitions every
+    # conv/pool/norm along H, inserting the halo exchanges itself — same
+    # numbers as pure dp (tests/test_spatial_train.py), for images too
+    # tall for one chip's HBM.  Composes with model_parallel
+    spatial_parallel: int = 1
     # ZeRO-1 optimizer-state sharding: shard optax moments over the
     # 'data' axis (per-device optimizer memory / data-axis size); exact
     # same numbers as replicated dp — XLA derives the reduce-scatter
@@ -229,6 +235,9 @@ class Signal1DConfig:
     seed: int = 1
     compute_dtype: str = "float32"
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
+    spatial_parallel: int = 1  # mesh 'spatial' axis: shard the signal's
+    # L axis over devices — sequence parallelism for signals too long for
+    # one chip (GSPMD partitions the convs; same numbers as pure dp)
     zero1: bool = False      # ZeRO-1 opt-state sharding (see TrainConfig)
     clipnorm: float = 0.0        # gradient clipping (see TrainConfig)
     clipvalue: float = 0.0
