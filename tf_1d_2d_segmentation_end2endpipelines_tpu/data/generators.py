@@ -149,6 +149,13 @@ class PrefetchLoader:
         self.augment = augment
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fast-forward the epoch counter (exact resume): the shuffle and
+        augmentation rngs are (seed, epoch)-keyed, so a resumed run
+        replays exactly the data order the uninterrupted run would have
+        produced from this epoch on."""
+        self._epoch = int(epoch)
+
     def _load_one(self, i: int) -> tp.Tuple[np.ndarray, np.ndarray]:
         img, msk = self.ds.load_pair(int(i))
         if self.augment:

@@ -62,16 +62,17 @@ def batches(x: np.ndarray, y, batch_size: int, shuffle: bool = True,
 
     Each call reshuffles with ``seed + call_index`` (deterministic per
     run, fresh order per epoch — matching ``PrefetchLoader``'s
-    seed-plus-epoch scheme and Keras ``fit(shuffle=True)``)."""
-    import itertools
-
+    seed-plus-epoch scheme and Keras ``fit(shuffle=True)``).  The
+    returned callable exposes ``set_epoch`` (exact resume fast-forwards
+    the counter to replay the interrupted run's data order)."""
     n = x.shape[0]
-    epoch = itertools.count()
+    state = {"epoch": 0}
 
     def it():
+        e, state["epoch"] = state["epoch"], state["epoch"] + 1
         idx = np.arange(n)
         if shuffle:
-            np.random.default_rng(seed + next(epoch)).shuffle(idx)
+            np.random.default_rng(seed + e).shuffle(idx)
         stop = n - (n % batch_size) if drop_remainder else n
         for s in range(0, stop, batch_size):
             sel = idx[s:s + batch_size]
@@ -80,4 +81,5 @@ def batches(x: np.ndarray, y, batch_size: int, shuffle: bool = True,
             else:
                 yield x[sel], y[sel]
 
+    it.set_epoch = lambda epoch: state.__setitem__("epoch", int(epoch))
     return it

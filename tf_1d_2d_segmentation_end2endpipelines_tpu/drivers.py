@@ -203,6 +203,10 @@ def train(config_path: str = "Train_Configs.ini",
         def train_iter():
             for x, y in loader():
                 yield x, _wrap_targets(y, cfg)
+        # exact resume reproduces the interrupted run's data order: the
+        # loader's shuffle is (seed, epoch)-keyed, so fast-forwarding its
+        # epoch counter replays the epochs the run would have seen
+        train_iter.set_epoch = loader.set_epoch
 
         if cfg.accumulation_steps > 1 and \
                 cfg.batch_size % cfg.accumulation_steps:
@@ -263,6 +267,7 @@ def train(config_path: str = "Train_Configs.ini",
             tensorboard_dir=(os.path.join(cfg.tensorboard_dir,
                                           f"Fold_{fold}")
                              if cfg.tensorboard_dir else None),
+            exact_resume=cfg.exact_resume,
         )
         histories[fold] = history
         if cfg.save_history:

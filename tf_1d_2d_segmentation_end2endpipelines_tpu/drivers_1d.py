@@ -167,6 +167,7 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         checkpoint=ckpt,
         monitor=monitor,
         tensorboard_dir=cfg.tensorboard_dir or None,
+        exact_resume=cfg.exact_resume,
     )
     if cfg.save_history and cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "history.json"), "w") as f:

@@ -17,6 +17,24 @@ def _improved(value: float, best: float, mode: str, min_delta: float) -> bool:
     return value > best + min_delta
 
 
+class _Resumable:
+    """JSON-serializable callback state for exact resume
+    (CheckpointManager.save_full meta): every attribute in
+    ``_STATE_KEYS`` round-trips through the checkpoint's meta sidecar so
+    a resumed run continues patience counters / best values / restore
+    budgets exactly where the interrupted run left them."""
+
+    _STATE_KEYS: tp.Tuple[str, ...] = ()
+
+    def state_dict(self) -> tp.Dict[str, tp.Any]:
+        return {k: getattr(self, k) for k in self._STATE_KEYS}
+
+    def load_state_dict(self, state: tp.Dict[str, tp.Any]) -> None:
+        for k in self._STATE_KEYS:
+            if k in state:
+                setattr(self, k, state[k])
+
+
 def infer_mode(monitor: str) -> str:
     """Keras 'auto' mode: loss-like monitors minimize, everything else
     (accuracy/iou/auc...) maximizes."""
@@ -26,7 +44,7 @@ def infer_mode(monitor: str) -> str:
     return "max"
 
 
-class EarlyStopping:
+class EarlyStopping(_Resumable):
     """Stop when ``monitor`` stops improving (Train.py:373-374)."""
 
     def __init__(self, monitor: str = "val_loss", patience: int = 10,
@@ -38,6 +56,8 @@ class EarlyStopping:
         self.best = math.inf if self.mode == "min" else -math.inf
         self.wait = 0
         self.stopped = False
+
+    _STATE_KEYS = ("best", "wait", "stopped")
 
     def on_epoch_end(self, epoch: int, logs: tp.Dict[str, float]) -> None:
         value = logs.get(self.monitor)
@@ -52,7 +72,7 @@ class EarlyStopping:
                 self.stopped = True
 
 
-class ReduceLROnPlateau:
+class ReduceLROnPlateau(_Resumable):
     """Scale LR by ``factor`` after ``patience`` stagnant epochs
     (Train.py:381-385; factor/patience/min_lr from the INI config)."""
 
@@ -67,6 +87,8 @@ class ReduceLROnPlateau:
         self.mode = infer_mode(monitor) if mode == "auto" else mode
         self.best = math.inf if self.mode == "min" else -math.inf
         self.wait = 0
+
+    _STATE_KEYS = ("best", "wait")
 
     def on_epoch_end(self, epoch: int, logs: tp.Dict[str, float],
                      current_lr: float) -> float:
@@ -85,7 +107,7 @@ class ReduceLROnPlateau:
         return current_lr
 
 
-class BestTracker:
+class BestTracker(_Resumable):
     """Tracks whether the current epoch is the best so far
     (ModelCheckpoint(save_best_only=True), Train.py:375-379)."""
 
@@ -93,6 +115,8 @@ class BestTracker:
         self.monitor = monitor
         self.mode = infer_mode(monitor) if mode == "auto" else mode
         self.best = math.inf if self.mode == "min" else -math.inf
+
+    _STATE_KEYS = ("best",)
 
     def is_best(self, logs: tp.Dict[str, float]) -> bool:
         value = logs.get(self.monitor)
@@ -104,7 +128,7 @@ class BestTracker:
         return False
 
 
-class NaNGuard:
+class NaNGuard(_Resumable):
     """Failure detection + recovery (new aux subsystem; SURVEY.md §5 notes
     the reference has none): when an epoch produces a non-finite loss, the
     trainer restores the best checkpoint (when one exists), scales the LR
@@ -116,6 +140,8 @@ class NaNGuard:
         self.lr_factor = lr_factor
         self.restores = 0
         self.aborted = False
+
+    _STATE_KEYS = ("restores", "aborted")
 
     def check(self, logs: tp.Dict[str, float]) -> bool:
         """True if this epoch's loss is non-finite (rescue needed)."""

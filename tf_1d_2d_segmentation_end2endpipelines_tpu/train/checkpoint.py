@@ -4,11 +4,27 @@ reference Train.py:361-379, Test.py:110-116).
 Layout mirrors the reference's artifact tree:
 ``{save_dir}/{task}/Fold_{i}/...`` with best-only saving driven by the
 monitored metric (callbacks.BestTracker).
+
+Two checkpoint flavors:
+
+- ``save``/``restore`` — weights-only (params + batch_stats + EMA
+  shadow), matching the reference's ModelCheckpoint/load_weights
+  semantics: the optimizer resets on resume and fine-tune stages can
+  swap optimizers/freezing freely.
+- ``save_full``/``restore_full`` — the COMPLETE training state
+  (weights + optimizer moments + step counter) plus a JSON meta sidecar
+  (epoch, history, callback state), enabling EXACT resume after a crash
+  or preemption: the continued run is bit-identical to an uninterrupted
+  one (``Trainer.fit(exact_resume=True)``, tests/test_exact_resume.py).
+  The reference has no equivalent — a killed Keras run loses its
+  optimizer state and epoch position.
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import typing as tp
 
 import orbax.checkpoint as ocp
 
@@ -60,6 +76,13 @@ class CheckpointManager:
         if not os.path.isdir(staging):
             if not os.path.isdir(final) and os.path.isdir(old):
                 os.rename(old, final)  # killed mid-swap last time
+            # an orphaned meta staging WITHOUT its arrays staging is from
+            # a save killed mid-commit: the arrays never landed, so the
+            # newer meta must be dropped (adopting it would describe an
+            # epoch the weights on disk never reached)
+            mstaging = self._meta_path(name) + ".staging"
+            if os.path.isfile(mstaging):
+                os.remove(mstaging)
             return
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -68,6 +91,18 @@ class CheckpointManager:
         os.rename(staging, final)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        self._finalize_meta(name)
+
+    def _meta_path(self, name: str) -> str:
+        return self._path(name) + ".meta.json"
+
+    def _finalize_meta(self, name: str) -> None:
+        """The meta sidecar lands only together with (or after) its
+        checkpoint dir: os.replace is atomic, so a reader never sees a
+        meta newer than the arrays it describes without the arrays."""
+        staging = self._meta_path(name) + ".staging"
+        if os.path.isfile(staging) and os.path.isdir(self._path(name)):
+            os.replace(staging, self._meta_path(name))
 
     def wait(self) -> None:
         """Join any in-flight async save and swap it into place
@@ -95,6 +130,9 @@ class CheckpointManager:
         # (orbax also joins internally, but the staging->final swap is
         # this manager's responsibility)
         self.wait()
+        # a weights-only save over an earlier FULL checkpoint must not
+        # leave the stale meta sidecar claiming resumability
+        self._write_meta(name, None)
         if self.async_save:
             self._ckptr.save(path + ".staging", payload, force=True)
             self._pending.add(name)
@@ -103,6 +141,112 @@ class CheckpointManager:
             self._ckptr.save(path, payload, force=True)
             self.wait()
         return path
+
+    # ---------------------------------------------------- full checkpoints
+    def _write_meta(self, name: str, meta: tp.Optional[dict]) -> None:
+        """Stage (async) or atomically place (sync) the JSON sidecar;
+        ``None`` removes any existing sidecar.  Single-writer: only the
+        primary process touches the shared filesystem."""
+        import jax
+        if jax.process_index() != 0:
+            return
+        mpath = self._meta_path(name)
+        staging = mpath + ".staging"
+        for stale in (staging,) + (() if meta is not None else (mpath,)):
+            if os.path.isfile(stale):
+                os.remove(stale)
+        if meta is None:
+            return
+        if self.async_save:
+            # lands via _finalize_meta only after the arrays dir swap
+            with open(staging, "w") as f:
+                json.dump(meta, f)
+        else:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, mpath)
+
+    def save_full(self, state: TrainState, name: str = "last",
+                  meta: tp.Optional[dict] = None) -> str:
+        """Save the COMPLETE training state (weights + optimizer moments +
+        step counter) plus a JSON ``meta`` sidecar (epoch, history,
+        callback state) for exact resume.  The meta becomes visible only
+        together with its arrays (staged through the same swap), so a kill
+        at any point leaves a consistent (checkpoint, meta) pair.
+        """
+        path = self._path(name)
+        payload = {"params": state.params, "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "step": state.step}
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        meta = dict(meta or {})
+        meta["full"] = True
+        meta["has_ema"] = state.ema_params is not None
+        self.wait()
+        if self.async_save:
+            self._write_meta(name, meta)
+            self._ckptr.save(path + ".staging", payload, force=True)
+            self._pending.add(name)
+        else:
+            self._ckptr.save(path, payload, force=True)
+            self.wait()
+            self._write_meta(name, meta)
+        return path
+
+    def read_meta(self, name: str = "last") -> tp.Optional[dict]:
+        """The JSON sidecar of a full checkpoint (None when absent)."""
+        self.wait()
+        self._finalize(name)
+        mpath = self._meta_path(name)
+        if not os.path.isfile(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def has_full(self, name: str = "last") -> bool:
+        """True when ``name`` is a resumable FULL checkpoint (arrays dir
+        present and its meta sidecar marks it full)."""
+        meta = self.read_meta(name)
+        return bool(meta and meta.get("full")) and \
+            os.path.isdir(self._path(name))
+
+    def restore_full(self, state: TrainState, name: str = "last"
+                     ) -> tp.Tuple[TrainState, dict]:
+        """Restore a full checkpoint into ``state`` (same model AND same
+        optimizer configuration as the saving run) and return
+        ``(state, meta)``.  Leaf placement follows the target's shardings,
+        so a ZeRO-1/tp-sharded state restores sharded."""
+        self.wait()
+        self._finalize(name)
+        meta = self.read_meta(name)
+        if not meta or not meta.get("full"):
+            raise FileNotFoundError(
+                f"{self._path(name)} is not a full checkpoint (no meta "
+                "sidecar); was it saved with save_full()?")
+        target = {"params": state.params, "batch_stats": state.batch_stats,
+                  "opt_state": state.opt_state, "step": state.step}
+        if meta.get("has_ema"):
+            if state.ema_params is None:
+                raise ValueError(
+                    "checkpoint tracks EMA but the trainer does not; "
+                    "exact resume requires the same ema_decay setting")
+            target["ema_params"] = state.ema_params
+        elif state.ema_params is not None:
+            raise ValueError(
+                "trainer tracks EMA but the checkpoint does not; "
+                "exact resume requires the same ema_decay setting")
+        try:
+            payload = self._ckptr.restore(self._path(name), target=target)
+        except BaseException as e:
+            raise ValueError(
+                "full-checkpoint restore failed — exact resume requires "
+                "the SAME model and optimizer configuration as the saving "
+                f"run ({e})") from e
+        return state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"], step=payload["step"],
+            ema_params=payload.get("ema_params", state.ema_params)), meta
 
     def restore(self, state: TrainState, name: str = "best") -> TrainState:
         """Restore weights into ``state``, tolerating an EMA mismatch in

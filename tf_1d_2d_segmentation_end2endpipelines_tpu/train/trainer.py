@@ -32,6 +32,34 @@ from .state import (TrainState, create_train_state, make_eval_step,
 BatchIter = tp.Callable[[], tp.Iterable[tp.Tuple[np.ndarray, tp.Any]]]
 
 
+class _PreemptionWatch:
+    """SIGTERM watch for preemption-safe training: the handler only sets a
+    flag; the fit loop checks it at step boundaries and saves a full
+    'last' checkpoint before returning cleanly.  TPU pod preemptions and
+    cluster schedulers deliver SIGTERM with a grace window — this turns
+    that window into a resumable checkpoint instead of a lost run.
+    Signal handlers require the main thread; elsewhere (e.g. a fit inside
+    a test worker thread) the watch degrades to a no-op."""
+
+    def __init__(self, signals=None):
+        import signal as _signal
+        self._signal = _signal
+        self.triggered = False
+        self._prev: tp.Dict[int, tp.Any] = {}
+        for s in signals if signals is not None else (_signal.SIGTERM,):
+            try:
+                self._prev[s] = _signal.signal(s, self._handler)
+            except ValueError:  # not the main thread
+                pass
+
+    def _handler(self, signum, frame):
+        self.triggered = True
+
+    def restore(self):
+        for s, h in self._prev.items():
+            self._signal.signal(s, h)
+
+
 def _as_batch(x):
     """Host batches become numpy; global jax.Arrays (DistributedLoader /
     multi-host pipelines) pass through — a pod host cannot materialize
@@ -174,7 +202,20 @@ class Trainer:
         profile_dir: tp.Optional[str] = None,
         profile_epoch: int = 1,
         tensorboard_dir: tp.Optional[str] = None,
+        exact_resume: bool = False,
     ) -> tp.Dict[str, tp.List[float]]:
+        """``exact_resume=True`` (requires ``checkpoint``) makes the run
+        preemption-safe and exactly resumable: every epoch ends with a
+        full-state 'last' checkpoint (weights + optimizer moments + epoch
+        + history + callback counters), a SIGTERM triggers one final such
+        save at the next step boundary, and a later fit() with the same
+        configuration continues from the recorded epoch with numerics
+        identical to an uninterrupted run (tests/test_exact_resume.py).
+        Data order matches too when the train loader exposes
+        ``set_epoch`` (PrefetchLoader does; its shuffle is (seed, epoch)-
+        keyed).  A mid-epoch preemption restarts that epoch on resume.
+        The reference has no equivalent: a killed Keras run keeps only
+        load_weights-style weights (Train.py:361-379)."""
         assert self.state is not None, "call init_state(sample) first"
         # optional TensorBoard scalars (new observability surface; the
         # reference logs only Keras progress bars + an h5 history,
@@ -199,101 +240,165 @@ class Trainer:
         # accumulates into lr_scale, which scales every scheduled LR (a
         # plain override would reinstate the diverging LR next epoch)
         lr_scale = 1.0
-        for epoch in range(epochs):
-            t0 = time.time()
-            if sched is not None:
-                self.state = self.state.replace_lr(
-                    sched.on_epoch_begin(epoch) * lr_scale)
-            # profiling hook (new aux subsystem; the reference has none,
-            # SURVEY.md §5): capture one epoch's device trace
-            profiling = profile_dir is not None and epoch == profile_epoch
-            if profiling:
-                jax.profiler.start_trace(profile_dir)
-            # -------- train epoch --------
-            mstates = self._metric_init()
-            losses = []
-            nbatch = 0
-            for x, y in train_data():
-                batch = shard_batch(self.mesh, {"x": _as_batch(x), "y": y})
-                self.state, loss, mstates = self._train_step(
-                    self.state, batch["x"], batch["y"], mstates)
-                losses.append(loss)
-                nbatch += 1
-            if profiling:
-                jax.block_until_ready(self.state.params)
-                jax.profiler.stop_trace()
-            logs: tp.Dict[str, float] = {}
-            if losses:
-                logs["loss"] = float(jnp.mean(jnp.stack(losses)))
-            if nbatch:
-                logs["steps_per_sec"] = nbatch / max(time.time() - t0, 1e-9)
-            logs.update(self._metric_results(mstates))
-            # -------- validation epoch --------
-            if val_data is not None:
-                vstates = self._metric_init()
-                vlosses = []
-                for x, y in val_data():
-                    batch = shard_batch(self.mesh,
-                                        {"x": _as_batch(x), "y": y})
-                    vloss, _, vstates = self._eval_step(
-                        self.state, batch["x"], batch["y"], vstates)
-                    vlosses.append(vloss)
-                if vlosses:
-                    logs["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
-                logs.update(self._metric_results(vstates, prefix="val_"))
-            logs["lr"] = get_learning_rate(self.state.opt_state)
-            logs["epoch_time"] = time.time() - t0
-            for k, v in logs.items():
-                self.history.setdefault(k, []).append(v)
-            if tb_writer is not None:
-                import tensorflow as _tf
-                with tb_writer.as_default():
-                    for k, v in logs.items():
-                        _tf.summary.scalar(k, v, step=epoch)
-                tb_writer.flush()
-            if verbose:
-                msg = " - ".join(f"{k}: {v:.5g}" for k, v in logs.items())
-                print(f"Epoch {epoch + 1}/{epochs} [{nbatch} steps] {msg}",
-                      flush=True)
-            # -------- callbacks --------
-            if guard is not None and guard.check(logs):
-                if not guard.on_failure():
-                    print("NaNGuard: abort after repeated non-finite loss",
-                          flush=True)
-                    break
-                if checkpoint is not None and checkpoint.exists("best"):
-                    self.state = checkpoint.restore(self.state, "best")
-                    recovery = "restored best"
-                else:
-                    # no checkpoint to fall back on: LR backoff cannot heal
-                    # non-finite params, so re-initialize from a fresh seed
-                    rng = jax.random.fold_in(
-                        jax.random.PRNGKey(self.seed), epoch + 1)
-                    self.state = create_train_state(
-                        self.model, rng, self._sample_input, self.optimizer,
-                        ema=self.ema_decay > 0)
-                    recovery = "re-initialized params"
-                self._ensure_state_placement()
-                lr_scale *= guard.lr_factor
-                new_lr = logs["lr"] * guard.lr_factor
-                self.state = self.state.replace_lr(new_lr)
+        # ---- exact resume (full-state 'last' checkpoint + meta sidecar)
+        named_cbs = {"early": early, "rlrop": rlrop, "nan_guard": guard,
+                     "best": best}
+        start_epoch = 0
+        watch = None
+        if exact_resume and checkpoint is None:
+            raise ValueError("exact_resume=True requires a checkpoint")
+        if exact_resume:
+            watch = _PreemptionWatch()
+            if checkpoint.has_full("last"):
+                # restore AFTER placement so sharded targets (zero1/tp)
+                # restore straight into their shardings
+                self.state, meta = checkpoint.restore_full(self.state,
+                                                           "last")
+                start_epoch = int(meta.get("epoch", 0))
+                self.history = {k: list(v) for k, v in
+                                meta.get("history", {}).items()}
+                lr_scale = float(meta.get("lr_scale", 1.0))
+                for key, cb in named_cbs.items():
+                    if cb is not None and key in meta.get("callbacks", {}):
+                        cb.load_state_dict(meta["callbacks"][key])
+                if meta.get("stopped"):
+                    start_epoch = epochs  # run had already early-stopped
+                if hasattr(train_data, "set_epoch"):
+                    # (seed, epoch)-keyed loaders reproduce the exact
+                    # data order the uninterrupted run would have seen
+                    train_data.set_epoch(start_epoch)
                 if verbose:
-                    print(f"NaNGuard: non-finite loss; {recovery} and "
-                          f"reduced lr to {new_lr:.3g}", flush=True)
-                continue
-            if best is not None and best.is_best(logs):
-                checkpoint.save(self.state, "best")
-            if rlrop is not None:
-                new_lr = rlrop.on_epoch_end(epoch, logs, logs["lr"])
-                if new_lr != logs["lr"]:
-                    self.state = self.state.replace_lr(new_lr)
-            if early is not None:
-                early.on_epoch_end(epoch, logs)
-                if early.stopped:
+                    print(f"Exact resume: continuing from epoch "
+                          f"{start_epoch}", flush=True)
+
+        def _save_last(next_epoch: int, stopped: bool = False) -> None:
+            # closure reads lr_scale at call time, so NaNGuard backoffs
+            # applied mid-run are persisted
+            if not exact_resume:
+                return
+            checkpoint.save_full(self.state, "last", meta={
+                "epoch": next_epoch, "history": self.history,
+                "lr_scale": lr_scale, "stopped": stopped,
+                "callbacks": {k: cb.state_dict()
+                              for k, cb in named_cbs.items()
+                              if cb is not None}})
+
+        try:
+            for epoch in range(start_epoch, epochs):
+                t0 = time.time()
+                if sched is not None:
+                    self.state = self.state.replace_lr(
+                        sched.on_epoch_begin(epoch) * lr_scale)
+                # profiling hook (new aux subsystem; the reference has none,
+                # SURVEY.md §5): capture one epoch's device trace
+                profiling = profile_dir is not None and epoch == profile_epoch
+                if profiling:
+                    jax.profiler.start_trace(profile_dir)
+                # -------- train epoch --------
+                mstates = self._metric_init()
+                losses = []
+                nbatch = 0
+                for x, y in train_data():
+                    batch = shard_batch(self.mesh, {"x": _as_batch(x), "y": y})
+                    self.state, loss, mstates = self._train_step(
+                        self.state, batch["x"], batch["y"], mstates)
+                    losses.append(loss)
+                    nbatch += 1
+                    if watch is not None and watch.triggered:
+                        break  # preemption: stop at a step boundary
+                if profiling:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                if watch is not None and watch.triggered:
+                    # preemption grace window: persist a resumable full
+                    # checkpoint and return cleanly.  The partial epoch's
+                    # steps are kept in the weights; meta records THIS epoch
+                    # so resume restarts it (documented in fit's docstring)
+                    jax.block_until_ready(self.state.params)
+                    _save_last(epoch)
                     if verbose:
-                        print(f"Early stopping at epoch {epoch + 1}",
+                        print(f"Preemption signal: saved full checkpoint at "
+                              f"epoch {epoch} (step {nbatch}); exiting",
                               flush=True)
                     break
+                logs: tp.Dict[str, float] = {}
+                if losses:
+                    logs["loss"] = float(jnp.mean(jnp.stack(losses)))
+                if nbatch:
+                    logs["steps_per_sec"] = nbatch / max(time.time() - t0, 1e-9)
+                logs.update(self._metric_results(mstates))
+                # -------- validation epoch --------
+                if val_data is not None:
+                    vstates = self._metric_init()
+                    vlosses = []
+                    for x, y in val_data():
+                        batch = shard_batch(self.mesh,
+                                            {"x": _as_batch(x), "y": y})
+                        vloss, _, vstates = self._eval_step(
+                            self.state, batch["x"], batch["y"], vstates)
+                        vlosses.append(vloss)
+                    if vlosses:
+                        logs["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
+                    logs.update(self._metric_results(vstates, prefix="val_"))
+                logs["lr"] = get_learning_rate(self.state.opt_state)
+                logs["epoch_time"] = time.time() - t0
+                for k, v in logs.items():
+                    self.history.setdefault(k, []).append(v)
+                if tb_writer is not None:
+                    import tensorflow as _tf
+                    with tb_writer.as_default():
+                        for k, v in logs.items():
+                            _tf.summary.scalar(k, v, step=epoch)
+                    tb_writer.flush()
+                if verbose:
+                    msg = " - ".join(f"{k}: {v:.5g}" for k, v in logs.items())
+                    print(f"Epoch {epoch + 1}/{epochs} [{nbatch} steps] {msg}",
+                          flush=True)
+                # -------- callbacks --------
+                if guard is not None and guard.check(logs):
+                    if not guard.on_failure():
+                        print("NaNGuard: abort after repeated non-finite loss",
+                              flush=True)
+                        break
+                    if checkpoint is not None and checkpoint.exists("best"):
+                        self.state = checkpoint.restore(self.state, "best")
+                        recovery = "restored best"
+                    else:
+                        # no checkpoint to fall back on: LR backoff cannot heal
+                        # non-finite params, so re-initialize from a fresh seed
+                        rng = jax.random.fold_in(
+                            jax.random.PRNGKey(self.seed), epoch + 1)
+                        self.state = create_train_state(
+                            self.model, rng, self._sample_input, self.optimizer,
+                            ema=self.ema_decay > 0)
+                        recovery = "re-initialized params"
+                    self._ensure_state_placement()
+                    lr_scale *= guard.lr_factor
+                    new_lr = logs["lr"] * guard.lr_factor
+                    self.state = self.state.replace_lr(new_lr)
+                    if verbose:
+                        print(f"NaNGuard: non-finite loss; {recovery} and "
+                              f"reduced lr to {new_lr:.3g}", flush=True)
+                    _save_last(epoch + 1)
+                    continue
+                if best is not None and best.is_best(logs):
+                    checkpoint.save(self.state, "best")
+                if rlrop is not None:
+                    new_lr = rlrop.on_epoch_end(epoch, logs, logs["lr"])
+                    if new_lr != logs["lr"]:
+                        self.state = self.state.replace_lr(new_lr)
+                if early is not None:
+                    early.on_epoch_end(epoch, logs)
+                    if early.stopped:
+                        if verbose:
+                            print(f"Early stopping at epoch {epoch + 1}",
+                                  flush=True)
+                        _save_last(epoch + 1, stopped=True)
+                        break
+                _save_last(epoch + 1)
+        finally:
+            if watch is not None:
+                watch.restore()
         if checkpoint is not None:
             checkpoint.wait()  # async best-save must be durable before fit returns
         return self.history

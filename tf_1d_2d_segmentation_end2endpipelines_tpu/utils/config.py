@@ -96,6 +96,14 @@ class TrainConfig:
     # numbers as pure dp (tests/test_spatial_train.py), for images too
     # tall for one chip's HBM.  Composes with model_parallel
     spatial_parallel: int = 1
+    # exact resume: every epoch ends with a full-state 'last' checkpoint
+    # (weights + optimizer moments + epoch + history + callback
+    # counters) and a SIGTERM (pod preemption / scheduler kill) saves
+    # one at the next step boundary; re-running the same INI continues
+    # from the recorded epoch with numerics identical to an
+    # uninterrupted run.  Distinct from load_weights (which restores
+    # 'best' weights only and restarts the schedule from epoch 0)
+    exact_resume: bool = False
     # ZeRO-1 optimizer-state sharding: shard optax moments over the
     # 'data' axis (per-device optimizer memory / data-axis size); exact
     # same numbers as replicated dp — XLA derives the reduce-scatter
@@ -239,6 +247,9 @@ class Signal1DConfig:
     # L axis over devices — sequence parallelism for signals too long for
     # one chip (GSPMD partitions the convs; same numbers as pure dp)
     zero1: bool = False      # ZeRO-1 opt-state sharding (see TrainConfig)
+    exact_resume: bool = False   # preemption-safe exact resume
+    # (per-epoch full-state 'last' checkpoint + SIGTERM save; see
+    # TrainConfig.exact_resume)
     clipnorm: float = 0.0        # gradient clipping (see TrainConfig)
     clipvalue: float = 0.0
     global_clipnorm: float = 0.0
