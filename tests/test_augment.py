@@ -147,3 +147,48 @@ def test_prefetch_loader_zero_batch_guard(tmp_path):
     loader = PrefetchLoader(ds, 4, drop_remainder=True)
     with pytest.raises(ValueError, match="no batches"):
         next(loader())
+
+
+def test_prefetch_loader_cache(tmp_path):
+    """cache=True: identical batches to the uncached loader, but each
+    file decodes exactly once across epochs (get_datasets-style bulk
+    residency, helper_functions.py:231-260, without the up-front stall);
+    per-epoch augmentation still varies on top of the cached decode."""
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=4)
+    ds = SegmentationFolderDataset(root, (32, 32))
+    calls = {"n": 0}
+    orig = ds.load_pair
+
+    def counting(idx):
+        calls["n"] += 1
+        return orig(idx)
+
+    ds.load_pair = counting
+
+    def epochs(loader, k=3):
+        return [[(x.copy(), y.copy()) for x, y in loader()]
+                for _ in range(k)]
+
+    cached = PrefetchLoader(ds, 2, shuffle=True, seed=5, cache=True)
+    got = epochs(cached)
+    assert calls["n"] == 4  # one decode per image, not per epoch
+    plain = PrefetchLoader(ds, 2, shuffle=True, seed=5)
+    want = epochs(plain)
+    for e_got, e_want in zip(got, want):
+        for (xg, yg), (xw, yw) in zip(e_got, e_want):
+            np.testing.assert_array_equal(xg, xw)
+            np.testing.assert_array_equal(yg, yw)
+    # augment on top of cache: epochs differ, and the cached source
+    # array is not corrupted by the augmentation views
+    aug = PrefetchLoader(ds, 2, shuffle=False, seed=5, cache=True,
+                         augment=True)
+    a1 = epochs(aug, 2)
+    assert not all(np.array_equal(a[0], b[0])
+                   for a, b in zip(a1[0], a1[1]))
+    base1 = [x for x, _ in epochs(PrefetchLoader(
+        ds, 2, shuffle=False, seed=5, cache=True), 1)[0]]
+    base2 = [x for x, _ in epochs(PrefetchLoader(
+        ds, 2, shuffle=False, seed=5), 1)[0]]
+    for a, b in zip(base1, base2):
+        np.testing.assert_array_equal(a, b)

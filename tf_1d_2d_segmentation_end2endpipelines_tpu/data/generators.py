@@ -30,9 +30,19 @@ def _list_images(directory: str) -> tp.List[str]:
 
 
 def load_image(path: str, size: tp.Tuple[int, int], color_mode: str,
-               resample: str = "lanczos") -> np.ndarray:
-    """PIL load + resize (lanczos for images, nearest for masks -- the
-    reference's choices, DataGenerator.py:68-77)."""
+               resample: str = "lanczos", norm: float = 1.0) -> np.ndarray:
+    """Load + convert + resize (lanczos for images, nearest for masks --
+    the reference's choices, DataGenerator.py:68-77) + divide by ``norm``.
+
+    Decodes through the native C path (native/imgio.cpp: libpng/libjpeg
+    decode + PIL-exact convert/resize fused with the float32
+    normalization) when available -- bit-identical to the PIL fallback
+    (tests/test_native_io.py), so numerics don't depend on the toolchain.
+    ``TPUSEG_NATIVE_IO=0`` forces PIL."""
+    from ..native.imgio import load_image_native
+    arr = load_image_native(path, size, color_mode, resample, norm)
+    if arr is not None:
+        return arr
     from PIL import Image
     img = Image.open(path)
     img = img.convert("L" if color_mode == "grayscale" else "RGB")
@@ -42,7 +52,7 @@ def load_image(path: str, size: tp.Tuple[int, int], color_mode: str,
     arr = np.asarray(img, np.float32)
     if arr.ndim == 2:
         arr = arr[..., None]
-    return arr
+    return arr if norm == 1.0 else arr / np.float32(norm)
 
 
 class SegmentationFolderDataset:
@@ -79,9 +89,9 @@ class SegmentationFolderDataset:
 
     def load_pair(self, idx: int) -> tp.Tuple[np.ndarray, np.ndarray]:
         img = load_image(self.image_paths[idx], self.image_size,
-                         self.image_color_mode, "lanczos") / self.nf_img
+                         self.image_color_mode, "lanczos", self.nf_img)
         msk = load_image(self.mask_paths[idx], self.image_size,
-                         self.mask_color_mode, "nearest") / self.nf_msk
+                         self.mask_color_mode, "nearest", self.nf_msk)
         return img, msk
 
 
@@ -131,7 +141,8 @@ class PrefetchLoader:
                  num_workers: int = 4,
                  prefetch_batches: int = 2,
                  drop_remainder: bool = False,
-                 augment: bool = False):
+                 augment: bool = False,
+                 cache: bool = False):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -147,6 +158,12 @@ class PrefetchLoader:
         # rng is seeded per (seed, epoch, index) so epochs differ but
         # runs reproduce
         self.augment = augment
+        # decode cache: epoch 2+ serve the decoded (img, msk) pairs from
+        # RAM instead of re-decoding files (the reference re-decodes every
+        # epoch, DataGenerator.py:68-77).  Augmentation/patchify still run
+        # per-epoch on the cached decode, so epochs differ as usual
+        self.cache = cache
+        self._cached: tp.Dict[int, tp.Tuple[np.ndarray, np.ndarray]] = {}
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -157,7 +174,14 @@ class PrefetchLoader:
         self._epoch = int(epoch)
 
     def _load_one(self, i: int) -> tp.Tuple[np.ndarray, np.ndarray]:
-        img, msk = self.ds.load_pair(int(i))
+        if self.cache and int(i) in self._cached:
+            img, msk = self._cached[int(i)]
+        else:
+            img, msk = self.ds.load_pair(int(i))
+            if self.cache:
+                # dict writes are atomic under the GIL; worst case two
+                # pool threads both decode and one wins — still correct
+                self._cached[int(i)] = (img, msk)
         if self.augment:
             rng = np.random.default_rng((self.seed, self._epoch, int(i)))
             img, msk = augment_pair(img, msk, rng)

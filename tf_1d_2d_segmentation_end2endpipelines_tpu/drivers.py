@@ -168,6 +168,7 @@ def train(config_path: str = "Train_Configs.ini",
             patch_shape=(cfg.patch_width, cfg.patch_height),
             overlap_ratio=cfg.overlap_ratio,
             augment=cfg.augment,
+            cache=cfg.cache_data,
             # accumulation splits each batch into accum microbatches; a
             # partial trailing batch would not divide, so drop it
             drop_remainder=cfg.accumulation_steps > 1)

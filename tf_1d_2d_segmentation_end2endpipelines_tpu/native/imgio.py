@@ -1,0 +1,84 @@
+"""ctypes binding for the native image loader (imgio.cpp): decode +
+convert + resize + normalize in one C call, bit-exact with the PIL path
+(tests/test_native_io.py) so numerics are identical with or without a
+toolchain.  ``load_image_native`` returns None whenever the library is
+missing or the file needs a PIL-only path (BMP/TIFF, 16-bit PNG) — the
+caller (data/generators.py::load_image) falls back to PIL.
+
+Disable with ``TPUSEG_NATIVE_IO=0`` (e.g. to A/B the PIL path).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+import typing as tp
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libimgio.so")
+_SRC = os.path.join(_DIR, "imgio.cpp")
+_lock = threading.Lock()
+_lib: tp.Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+           "-o", _SO, "-lpng", "-ljpeg"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> tp.Optional[ctypes.CDLL]:
+    """Load (building if needed) the imgio library; None on failure."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("TPUSEG_NATIVE_IO", "1") == "0":
+            return None
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        i64 = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.imgio_load.argtypes = [ctypes.c_char_p, i64, i64, i64, i64,
+                                   ctypes.c_float, f32p]
+        lib.imgio_load.restype = i64
+        lib.imgio_probe.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(i64),
+                                    ctypes.POINTER(i64)]
+        lib.imgio_probe.restype = i64
+        _lib = lib
+        return _lib
+
+
+def load_image_native(path: str, size: tp.Tuple[int, int], color_mode: str,
+                      resample: str = "lanczos", norm: float = 1.0
+                      ) -> tp.Optional[np.ndarray]:
+    """(H, W, C) float32 = decoded `path` converted to `color_mode`,
+    resized to `size` (lanczos/nearest, PIL-exact), divided by `norm`.
+    None -> caller must use the PIL path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not path.lower().endswith((".png", ".jpg", ".jpeg")):
+        return None  # BMP/TIFF stay on PIL
+    c = 1 if color_mode == "grayscale" else 3
+    out = np.empty((size[0], size[1], c), np.float32)
+    rc = lib.imgio_load(os.fsencode(path), size[0], size[1], c,
+                        1 if resample == "lanczos" else 0,
+                        float(norm), out)
+    if rc != 0:  # corrupt / 16-bit PNG / unsupported -> PIL decides
+        return None
+    return out

@@ -125,6 +125,11 @@ class TrainConfig:
     # pre-writes augmented copies offline, helper_functions.py:480-501;
     # that offline mode is the `tpuseg augment` CLI verb)
     augment: bool = False
+    # cache decoded images in RAM after epoch 1 (bulk-loader analog of
+    # the reference's get_datasets, helper_functions.py:231-260, without
+    # its up-front decode stall); augmentation/patchify still run
+    # per-epoch on the cached decode
+    cache_data: bool = False
     # exponential moving average of the weights (0 = off).  > 0 tracks an
     # EMA shadow inside the compiled train step; validation, the 'best'
     # checkpoint, test/predict/export/serve all use the shadow weights.
