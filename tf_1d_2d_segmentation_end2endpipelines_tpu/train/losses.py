@@ -165,6 +165,11 @@ def bce_dice_loss(y_true: jax.Array, y_pred: jax.Array,
 
 def iou_loss(y_true: jax.Array, y_pred: jax.Array,
              smooth: float = 1e-6) -> jax.Array:
+    """Replicates the reference formula EXACTLY (custom_losses.py:26-37),
+    including its quirk: ``total`` sums over the WHOLE batch while the
+    intersection is per-element (axis=-1), so the loss does not reach 0
+    at y_pred == y_true.  Preserved as a fidelity choice — use DiceLoss
+    for a well-normalized overlap loss."""
     inter = jnp.sum(jnp.abs(y_true * y_pred), axis=-1)
     total = jnp.sum(y_true) + jnp.sum(y_pred)
     union = total - inter
