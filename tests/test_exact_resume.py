@@ -148,6 +148,7 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
                      monitor="loss", verbose=0, exact_resume=True)
     # epoch 0 completed; epoch 1 was preempted after 1 step
     assert len(history["loss"]) == 1
+    assert tr.preempted  # drivers stop their fold loop on this flag
     assert ckpt.has_full("last")
     meta = ckpt.read_meta("last")
     assert meta["epoch"] == 1  # resume restarts the preempted epoch
@@ -159,7 +160,77 @@ def test_sigterm_preemption_saves_and_resumes(tmp_path):
     history2 = tr2.fit(batches(x, y, 4, seed=7), epochs=3, checkpoint=ckpt,
                        monitor="loss", verbose=0, exact_resume=True)
     assert len(history2["loss"]) == 3  # epoch 0 history + epochs 1-2
+    assert not tr2.preempted
     assert ckpt.read_meta("last")["epoch"] == 3
+
+
+def test_sigterm_during_validation(tmp_path):
+    """A SIGTERM landing in the validation pass exits promptly: the
+    partial validation is discarded, meta records THIS epoch (resume
+    re-runs it in full), and the truncated val metrics never reach
+    history — the resumed run's history stays identical to an
+    uninterrupted one."""
+    x, y = _data()
+    ckpt = CheckpointManager(str(tmp_path))
+    tr = _trainer()
+    tr.init_state(x)
+
+    def val_loader():
+        signal.raise_signal(signal.SIGTERM)
+        for i in range(0, len(x), 4):
+            yield x[i:i + 4], y[i:i + 4]
+
+    history = tr.fit(batches(x, y, 4, seed=7), val_data=val_loader,
+                     epochs=5, checkpoint=ckpt, monitor="loss",
+                     verbose=0, exact_resume=True)
+    assert tr.preempted
+    assert history.get("loss", []) == []  # epoch 0 discarded entirely
+    assert "val_loss" not in history
+    assert ckpt.read_meta("last")["epoch"] == 0  # re-run epoch 0
+
+
+def test_meta_pairing_survives_kill_between_swap_and_finalize(tmp_path):
+    """A kill between the arrays swap and the meta finalize leaves NEW
+    arrays with the OLD meta in place and the RIGHT meta in .staging;
+    restore_full must adopt the staged meta via the step token instead
+    of resuming one epoch behind (which would silently double-train)."""
+    import shutil
+    x, y = _data()
+    ckpt = CheckpointManager(str(tmp_path))
+    tr = _trainer()
+    tr.init_state(x)
+    tr.fit(batches(x, y, 4, seed=7), epochs=1, checkpoint=ckpt,
+           monitor="loss", verbose=0, exact_resume=True)
+    meta1 = ckpt.read_meta("last")
+    tr2 = _trainer()
+    tr2.init_state(x)
+    tr2.fit(batches(x, y, 4, seed=7), epochs=2, checkpoint=ckpt,
+            monitor="loss", verbose=0, exact_resume=True)
+    meta2 = ckpt.read_meta("last")
+    assert meta2["epoch"] == 2 and meta2["step"] > meta1["step"]
+    # simulate the kill window: arrays are epoch-2's, final meta reverted
+    # to epoch-1's, epoch-2's meta still staged
+    mpath = ckpt._meta_path("last")
+    with open(mpath + ".staging", "w") as f:
+        json.dump(meta2, f)
+    with open(mpath, "w") as f:
+        json.dump(meta1, f)
+    tr3 = _trainer()
+    tr3.init_state(x)
+    restored, meta = ckpt.restore_full(tr3.state, "last")
+    assert meta["epoch"] == 2  # adopted the staged meta (token match)
+    assert int(restored.step) == meta2["step"]
+    assert not os.path.exists(mpath + ".staging")  # promoted to final
+    assert ckpt.read_meta("last")["epoch"] == 2
+
+    # unrecoverable variant: the staged meta is gone too — restore falls
+    # back to the stale meta with a loud warning (documented double-train)
+    with open(mpath, "w") as f:
+        json.dump(meta1, f)
+    tr4 = _trainer()
+    tr4.init_state(x)
+    _, meta = ckpt.restore_full(tr4.state, "last")
+    assert meta["epoch"] == 1
 
 
 def test_callback_state_resumes(tmp_path):

@@ -178,7 +178,8 @@ def train(config_path: str = "Train_Configs.ini",
                                      shuffle=False, patchify=cfg.patchify,
                                      patch_shape=(cfg.patch_width,
                                                   cfg.patch_height),
-                                     overlap_ratio=cfg.overlap_ratio)
+                                     overlap_ratio=cfg.overlap_ratio,
+                                     cache=cfg.cache_data)
 
             def val_loader():
                 for x, y in raw_val():
@@ -195,7 +196,8 @@ def train(config_path: str = "Train_Configs.ini",
                                      patchify=cfg.patchify,
                                      patch_shape=(cfg.patch_width,
                                                   cfg.patch_height),
-                                     overlap_ratio=cfg.overlap_ratio)
+                                     overlap_ratio=cfg.overlap_ratio,
+                                     cache=cfg.cache_data)
 
             def val_loader():
                 for x, y in raw_val():
@@ -278,6 +280,13 @@ def train(config_path: str = "Train_Configs.ini",
             metric = cfg.metric_list[0] if cfg.metric_list else None
             plot_history(history, os.path.join(ckpt_dir, "history.png"),
                          metric_name=metric)
+        if getattr(trainer, "preempted", False):
+            # SIGTERM already triggered a resumable save for THIS fold;
+            # starting the next fold would burn the remaining grace
+            # window training work that cannot be saved again
+            print(f"Preemption: stopping after fold {fold}; re-run the "
+                  "same config to resume", flush=True)
+            break
     return histories
 
 

@@ -7,11 +7,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 import typing as tp
 
 import numpy as np
+
+from ._lazy import load as _lazy_load
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libpatcher.so")
@@ -21,16 +22,6 @@ _lib: tp.Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-           _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
-
 def get_lib() -> tp.Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None on failure."""
     global _lib, _tried
@@ -38,11 +29,8 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
+        lib = _lazy_load(_SRC, _SO, ("-fopenmp",))
+        if lib is None:
             return None
         i64 = ctypes.c_int64
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

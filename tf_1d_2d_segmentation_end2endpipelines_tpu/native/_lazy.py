@@ -1,0 +1,44 @@
+"""Shared lazy g++ build-and-load for the native host libraries.
+
+One implementation for patcher/imgio (they previously duplicated it):
+compiles to a process-unique temp file and ``os.replace``s it into place,
+so concurrent processes racing to build the same .so each link a private
+file and the winner lands atomically — a loader can never ``CDLL`` a
+half-linked library.  Every caller keeps a pure-Python fallback, so any
+failure here just means "no native fast path".
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import typing as tp
+
+
+def build(src: str, so: str, extra_flags: tp.Sequence[str] = ()) -> bool:
+    """Compile ``src`` -> ``so`` (atomic via temp + rename)."""
+    tmp = f"{so}.build.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+           "-o", tmp, *extra_flags]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
+        return True
+    except Exception:
+        try:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def load(src: str, so: str, extra_flags: tp.Sequence[str] = ()
+         ) -> tp.Optional[ctypes.CDLL]:
+    """Build (if needed) and dlopen; None on any failure."""
+    if not os.path.exists(so) and not build(src, so, extra_flags):
+        return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None

@@ -11,11 +11,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 import typing as tp
 
 import numpy as np
+
+from ._lazy import load as _lazy_load
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libimgio.so")
@@ -23,32 +24,47 @@ _SRC = os.path.join(_DIR, "imgio.cpp")
 _lock = threading.Lock()
 _lib: tp.Optional[ctypes.CDLL] = None
 _tried = False
+# PNG decode is deterministic (zlib + fixed transforms), but JPEG output
+# depends on the linked decoder: the system libjpeg this library links
+# may round differently from Pillow's bundled libjpeg-turbo on some
+# hosts.  A one-time probe decodes the same JPEG both ways; on any
+# mismatch the JPEG path falls back to PIL while PNG stays native.
+_jpeg_ok = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", _SO, "-lpng", "-ljpeg"]
+def _probe_jpeg(lib) -> bool:
+    import tempfile
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
+        from PIL import Image
     except Exception:
-        return False
+        return False  # no arbiter available — keep numerics PIL-defined
+    g = np.arange(24, dtype=np.uint8)[:, None] * 10
+    arr = np.stack([g + c for c in range(3)], -1).astype(np.uint8)
+    arr = np.broadcast_to(arr, (24, 24, 3)).copy()
+    with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+        path = f.name
+    try:
+        Image.fromarray(arr).save(path, quality=90)
+        ref = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        out = np.empty((24, 24, 3), np.float32)
+        rc = lib.imgio_load(os.fsencode(path), 24, 24, 3, 0,
+                            ctypes.c_float(1.0), out)
+        return rc == 0 and np.array_equal(out, ref)
+    finally:
+        os.remove(path)
 
 
 def get_lib() -> tp.Optional[ctypes.CDLL]:
     """Load (building if needed) the imgio library; None on failure."""
-    global _lib, _tried
+    global _lib, _tried, _jpeg_ok
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
         if os.environ.get("TPUSEG_NATIVE_IO", "1") == "0":
             return None
-        if not os.path.exists(_SO) and not _build():
-            return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
+        lib = _lazy_load(_SRC, _SO, ("-lpng", "-ljpeg"))
+        if lib is None:
             return None
         i64 = ctypes.c_int64
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -59,6 +75,7 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
                                     ctypes.POINTER(i64),
                                     ctypes.POINTER(i64)]
         lib.imgio_probe.restype = i64
+        _jpeg_ok = _probe_jpeg(lib)
         _lib = lib
         return _lib
 
@@ -72,8 +89,11 @@ def load_image_native(path: str, size: tp.Tuple[int, int], color_mode: str,
     lib = get_lib()
     if lib is None:
         return None
-    if not path.lower().endswith((".png", ".jpg", ".jpeg")):
+    lower = path.lower()
+    if not lower.endswith((".png", ".jpg", ".jpeg")):
         return None  # BMP/TIFF stay on PIL
+    if lower.endswith((".jpg", ".jpeg")) and not _jpeg_ok:
+        return None  # system libjpeg disagrees with Pillow's -> PIL
     c = 1 if color_mode == "grayscale" else 3
     out = np.empty((size[0], size[1], c), np.float32)
     rc = lib.imgio_load(os.fsencode(path), size[0], size[1], c,

@@ -76,13 +76,13 @@ class CheckpointManager:
         if not os.path.isdir(staging):
             if not os.path.isdir(final) and os.path.isdir(old):
                 os.rename(old, final)  # killed mid-swap last time
-            # an orphaned meta staging WITHOUT its arrays staging is from
-            # a save killed mid-commit: the arrays never landed, so the
-            # newer meta must be dropped (adopting it would describe an
-            # epoch the weights on disk never reached)
-            mstaging = self._meta_path(name) + ".staging"
-            if os.path.isfile(mstaging):
-                os.remove(mstaging)
+            # an orphaned meta staging WITHOUT its arrays staging is
+            # ambiguous: either the arrays never landed (kill before the
+            # orbax commit — the meta is junk) or the kill hit BETWEEN
+            # the arrays swap and _finalize_meta (the meta belongs to the
+            # arrays now in `final`).  It is kept on disk; restore_full
+            # disambiguates with the step token recorded in every meta
+            # (meta["step"] must equal the restored state's step).
             return
         if os.path.isdir(old):
             shutil.rmtree(old)
@@ -175,6 +175,7 @@ class CheckpointManager:
         together with its arrays (staged through the same swap), so a kill
         at any point leaves a consistent (checkpoint, meta) pair.
         """
+        import jax
         path = self._path(name)
         payload = {"params": state.params, "batch_stats": state.batch_stats,
                    "opt_state": state.opt_state, "step": state.step}
@@ -183,6 +184,10 @@ class CheckpointManager:
         meta = dict(meta or {})
         meta["full"] = True
         meta["has_ema"] = state.ema_params is not None
+        # pairing token: restore_full verifies the meta describes the
+        # arrays actually on disk (a kill between the arrays swap and the
+        # meta finalize would otherwise pair new arrays with a stale meta)
+        meta["step"] = int(jax.device_get(state.step))
         self.wait()
         if self.async_save:
             self._write_meta(name, meta)
@@ -194,15 +199,27 @@ class CheckpointManager:
             self._write_meta(name, meta)
         return path
 
+    def _read_json(self, path: str) -> tp.Optional[dict]:
+        if not os.path.isfile(path):
+            return None
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None  # torn write from a kill mid-json — unusable
+
     def read_meta(self, name: str = "last") -> tp.Optional[dict]:
-        """The JSON sidecar of a full checkpoint (None when absent)."""
+        """The JSON sidecar of a full checkpoint (None when absent).
+        Falls back to an orphaned STAGED sidecar when the final one is
+        missing but the arrays dir exists (kill between the arrays swap
+        and the meta finalize on a first-ever save); restore_full
+        validates either against the arrays' step token."""
         self.wait()
         self._finalize(name)
-        mpath = self._meta_path(name)
-        if not os.path.isfile(mpath):
-            return None
-        with open(mpath) as f:
-            return json.load(f)
+        meta = self._read_json(self._meta_path(name))
+        if meta is None and os.path.isdir(self._path(name)):
+            meta = self._read_json(self._meta_path(name) + ".staging")
+        return meta
 
     def has_full(self, name: str = "last") -> bool:
         """True when ``name`` is a resumable FULL checkpoint (arrays dir
@@ -238,15 +255,41 @@ class CheckpointManager:
                 "exact resume requires the same ema_decay setting")
         try:
             payload = self._ckptr.restore(self._path(name), target=target)
-        except BaseException as e:
+        except Exception as e:
             raise ValueError(
                 "full-checkpoint restore failed — exact resume requires "
                 "the SAME model and optimizer configuration as the saving "
                 f"run ({e})") from e
+        meta = self._reconcile_meta(name, meta, payload["step"])
         return state.replace(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"], step=payload["step"],
             ema_params=payload.get("ema_params", state.ema_params)), meta
+
+    def _reconcile_meta(self, name: str, meta: dict, step) -> dict:
+        """Verify the meta sidecar describes the restored arrays via the
+        step token; a kill between the arrays swap and the meta finalize
+        can leave new arrays paired with the previous meta, with the
+        RIGHT meta still in ``.staging`` — adopt it when its token
+        matches.  Tokenless metas (pre-token checkpoints) pass through."""
+        import jax
+        restored_step = int(jax.device_get(step))
+        if meta.get("step") in (None, restored_step):
+            return meta
+        staging = self._meta_path(name) + ".staging"
+        staged = self._read_json(staging)
+        if staged and staged.get("step") == restored_step:
+            if jax.process_index() == 0:
+                os.replace(staging, self._meta_path(name))
+            return staged
+        # no matching sidecar survives: resume from the stale meta's
+        # epoch (arrays newer than meta → the re-run epoch double-trains,
+        # the same contract as a documented mid-epoch preemption), loudly
+        print(f"WARNING: checkpoint '{name}' meta sidecar does not match "
+              f"its arrays (arrays step {restored_step}, meta step "
+              f"{meta.get('step')}); resuming from the recorded epoch — "
+              "the resumed trajectory may repeat one epoch", flush=True)
+        return meta
 
     def restore(self, state: TrainState, name: str = "best") -> TrainState:
         """Restore weights into ``state``, tolerating an EMA mismatch in

@@ -241,6 +241,10 @@ class Trainer:
         # plain override would reinstate the diverging LR next epoch)
         lr_scale = 1.0
         # ---- exact resume (full-state 'last' checkpoint + meta sidecar)
+        # drivers check `trainer.preempted` after fit() to stop outer
+        # loops (a fold loop must not burn the SIGTERM grace window
+        # training the next fold)
+        self.preempted = False
         named_cbs = {"early": early, "rlrop": rlrop, "nan_guard": guard,
                      "best": best}
         start_epoch = 0
@@ -320,6 +324,7 @@ class Trainer:
                         print(f"Preemption signal: saved full checkpoint at "
                               f"epoch {epoch} (step {nbatch}); exiting",
                               flush=True)
+                    self.preempted = True
                     break
                 logs: tp.Dict[str, float] = {}
                 if losses:
@@ -332,6 +337,8 @@ class Trainer:
                     vstates = self._metric_init()
                     vlosses = []
                     for x, y in val_data():
+                        if watch is not None and watch.triggered:
+                            break  # preemption: abandon the partial pass
                         batch = shard_batch(self.mesh,
                                             {"x": _as_batch(x), "y": y})
                         vloss, _, vstates = self._eval_step(
@@ -340,6 +347,20 @@ class Trainer:
                     if vlosses:
                         logs["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
                     logs.update(self._metric_results(vstates, prefix="val_"))
+                if watch is not None and watch.triggered:
+                    # SIGTERM landed during/after validation: this epoch's
+                    # logs never reach history, and meta records THIS epoch
+                    # — resume re-runs it in full (the mid-epoch contract),
+                    # so a truncated validation pass can't leak into the
+                    # resumed run's history
+                    jax.block_until_ready(self.state.params)
+                    _save_last(epoch)
+                    if verbose:
+                        print(f"Preemption signal during validation: saved "
+                              f"full checkpoint at epoch {epoch}; exiting",
+                              flush=True)
+                    self.preempted = True
+                    break
                 logs["lr"] = get_learning_rate(self.state.opt_state)
                 logs["epoch_time"] = time.time() - t0
                 for k, v in logs.items():
@@ -380,6 +401,9 @@ class Trainer:
                         print(f"NaNGuard: non-finite loss; {recovery} and "
                               f"reduced lr to {new_lr:.3g}", flush=True)
                     _save_last(epoch + 1)
+                    if watch is not None and watch.triggered:
+                        self.preempted = True
+                        break
                     continue
                 if best is not None and best.is_best(logs):
                     checkpoint.save(self.state, "best")
@@ -396,6 +420,15 @@ class Trainer:
                         _save_last(epoch + 1, stopped=True)
                         break
                 _save_last(epoch + 1)
+                if watch is not None and watch.triggered:
+                    # SIGTERM during epoch-end bookkeeping: the epoch is
+                    # complete and saved — exit now instead of starting
+                    # another epoch inside the grace window
+                    if verbose:
+                        print(f"Preemption signal: epoch {epoch + 1} "
+                              "complete and saved; exiting", flush=True)
+                    self.preempted = True
+                    break
         finally:
             if watch is not None:
                 watch.restore()
