@@ -119,3 +119,32 @@ def test_probe(tmp_path):
     assert lib.imgio_probe(os.fsencode(path), ctypes.byref(h),
                            ctypes.byref(w)) == 0
     assert (h.value, w.value) == (33, 21)
+
+
+def test_load_image_bytes_matches_pil(tmp_path):
+    """The in-memory variant (HTTP request bodies, serve._decode_request)
+    is bit-exact with the PIL stream path for PNG and JPEG."""
+    import io
+    rng = np.random.default_rng(3)
+    for mode, fmt in (("RGB", "PNG"), ("L", "PNG"), ("RGBA", "PNG"),
+                      ("RGB", "JPEG")):
+        c = {"RGB": 3, "RGBA": 4, "L": 1}[mode]
+        arr = rng.integers(0, 256, (37, 53, c) if c > 1 else (37, 53),
+                           dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr, mode).save(b, fmt)
+        data = b.getvalue()
+        for cm in ("rgb", "grayscale"):
+            img = Image.open(io.BytesIO(data)).convert(
+                "L" if cm == "grayscale" else "RGB")
+            img = img.resize((32, 24), Image.LANCZOS)
+            ref = np.asarray(img, np.float32)
+            ref = (ref[..., None] if ref.ndim == 2 else ref) / \
+                np.float32(255.0)
+            nat = imgio.load_image_bytes_native(data, (24, 32), cm,
+                                                "lanczos", 255.0)
+            assert nat is not None, (mode, fmt, cm)
+            np.testing.assert_array_equal(nat, ref)
+    # junk bytes -> None (caller falls back to PIL's error handling)
+    assert imgio.load_image_bytes_native(b"nonsense", (8, 8), "rgb") is None
+    assert imgio.load_image_bytes_native(b"\x89Pjunk", (8, 8), "rgb") is None

@@ -173,23 +173,19 @@ void jpeg_err_exit(j_common_ptr cinfo) {
     longjmp(reinterpret_cast<jpeg_err_mgr *>(cinfo->err)->jump, 1);
 }
 
-// Decode to an interleaved 8-bit buffer: gray sources come back with
-// c_src=1 (no wasted 3x traffic), color sources with c_src=3.  Alpha is
-// DROPPED (PIL convert() semantics), never composited.  Returns 0 ok,
-// <0 error.
-int decode_rgb(const char *path, std::vector<uint8_t> &rgb,
-               int &h, int &w, int &c_src) {
+// Decode an in-memory PNG/JPEG to an interleaved 8-bit buffer: gray
+// sources come back with c_src=1 (no wasted 3x traffic), color sources
+// with c_src=3.  Alpha is DROPPED (PIL convert() semantics), never
+// composited.  Returns 0 ok, <0 error.
+int decode_rgb_mem(const uint8_t *buf, size_t len, std::vector<uint8_t> &rgb,
+                   int &h, int &w, int &c_src) {
     c_src = 3;
-    FILE *f = std::fopen(path, "rb");
-    if (!f) return -1;
-    unsigned char magic[2] = {0, 0};
-    if (std::fread(magic, 1, 2, f) != 2) { std::fclose(f); return -2; }
-    if (magic[0] == 0x89 && magic[1] == 'P') {  // PNG, simplified API
-        std::fclose(f);
+    if (len < 2) return -2;
+    if (buf[0] == 0x89 && buf[1] == 'P') {  // PNG, simplified API
         png_image image;
         std::memset(&image, 0, sizeof image);
         image.version = PNG_IMAGE_VERSION;
-        if (!png_image_begin_read_from_file(&image, path)) return -3;
+        if (!png_image_begin_read_from_memory(&image, buf, len)) return -3;
         // 16-bit PNGs: libpng's 8-bit scaling differs from PIL's I;16
         // handling — refuse so the wrapper falls back to PIL
         if (image.format & PNG_FORMAT_FLAG_LINEAR) {
@@ -224,19 +220,17 @@ int decode_rgb(const char *path, std::vector<uint8_t> &rgb,
         }
         return 0;
     }
-    if (magic[0] == 0xFF && magic[1] == 0xD8) {  // JPEG
-        std::rewind(f);
+    if (buf[0] == 0xFF && buf[1] == 0xD8) {  // JPEG
         jpeg_decompress_struct cinfo;
         jpeg_err_mgr jerr;
         cinfo.err = jpeg_std_error(&jerr.pub);
         jerr.pub.error_exit = jpeg_err_exit;
         if (setjmp(jerr.jump)) {
             jpeg_destroy_decompress(&cinfo);
-            std::fclose(f);
             return -5;
         }
         jpeg_create_decompress(&cinfo);
-        jpeg_stdio_src(&cinfo, f);
+        jpeg_mem_src(&cinfo, buf, len);
         jpeg_read_header(&cinfo, TRUE);
         // gray JPEGs decode single-channel (PIL opens them as "L");
         // everything else goes through RGB
@@ -254,11 +248,26 @@ int decode_rgb(const char *path, std::vector<uint8_t> &rgb,
         }
         jpeg_finish_decompress(&cinfo);
         jpeg_destroy_decompress(&cinfo);
-        std::fclose(f);
         return 0;
     }
-    std::fclose(f);
     return -2;  // unsupported container (BMP/TIFF...) -> PIL fallback
+}
+
+// File variant: slurp, then decode from memory (small images; libpng's
+// simplified API buffers internally anyway).
+int decode_rgb(const char *path, std::vector<uint8_t> &rgb,
+               int &h, int &w, int &c_src) {
+    FILE *f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    const long sz = std::ftell(f);
+    if (sz <= 0) { std::fclose(f); return -2; }
+    std::rewind(f);
+    std::vector<uint8_t> data(static_cast<size_t>(sz));
+    const size_t got = std::fread(data.data(), 1, data.size(), f);
+    std::fclose(f);
+    if (got != data.size()) return -1;
+    return decode_rgb_mem(data.data(), data.size(), rgb, h, w, c_src);
 }
 
 }  // namespace
@@ -286,20 +295,12 @@ int64_t imgio_probe(const char *path, int64_t *h, int64_t *w) {
     return -2;
 }
 
-// Decode `path`, convert to `channels` (1=PIL "L", 3=PIL "RGB"), resize
-// to (out_h, out_w) with `resample` (0=NEAREST, 1=LANCZOS) when the
-// decoded size differs, then write float32 pixel/`norm` to `out`
-// ((out_h, out_w, channels), C-order).  Returns 0 ok, <0 error (caller
-// falls back to PIL).
-int64_t imgio_load(const char *path, int64_t out_h, int64_t out_w,
-                   int64_t channels, int64_t resample, float norm,
-                   float *out) {
-    if ((channels != 1 && channels != 3) || out_h <= 0 || out_w <= 0)
-        return -7;
-    std::vector<uint8_t> rgb;
-    int h = 0, w = 0, c_src = 3;
-    const int rc = decode_rgb(path, rgb, h, w, c_src);
-    if (rc) return rc;
+namespace {
+
+// Shared convert -> resize -> normalize tail of the load entry points.
+int64_t finish_load(std::vector<uint8_t> &rgb, int h, int w, int c_src,
+                    int64_t out_h, int64_t out_w, int64_t channels,
+                    int64_t resample, float norm, float *out) {
     if (h <= 0 || w <= 0) return -2;
     const int C = static_cast<int>(channels);
     // convert FIRST, then resize — PIL's order (convert("L"/"RGB") on the
@@ -336,6 +337,43 @@ int64_t imgio_load(const char *path, int64_t out_h, int64_t out_w,
     for (size_t i = 0; i < n; i++)
         out[i] = static_cast<float>(pix[i]) / norm;
     return 0;
+}
+
+}  // namespace
+
+// Decode `path`, convert to `channels` (1=PIL "L", 3=PIL "RGB"), resize
+// to (out_h, out_w) with `resample` (0=NEAREST, 1=LANCZOS) when the
+// decoded size differs, then write float32 pixel/`norm` to `out`
+// ((out_h, out_w, channels), C-order).  Returns 0 ok, <0 error (caller
+// falls back to PIL).
+int64_t imgio_load(const char *path, int64_t out_h, int64_t out_w,
+                   int64_t channels, int64_t resample, float norm,
+                   float *out) {
+    if ((channels != 1 && channels != 3) || out_h <= 0 || out_w <= 0)
+        return -7;
+    std::vector<uint8_t> rgb;
+    int h = 0, w = 0, c_src = 3;
+    const int rc = decode_rgb(path, rgb, h, w, c_src);
+    if (rc) return rc;
+    return finish_load(rgb, h, w, c_src, out_h, out_w, channels,
+                       resample, norm, out);
+}
+
+// Same pipeline from an in-memory PNG/JPEG byte buffer (the HTTP
+// serving path decodes request bodies without touching disk).
+int64_t imgio_load_mem(const uint8_t *buf, int64_t len, int64_t out_h,
+                       int64_t out_w, int64_t channels, int64_t resample,
+                       float norm, float *out) {
+    if ((channels != 1 && channels != 3) || out_h <= 0 || out_w <= 0 ||
+        len <= 0)
+        return -7;
+    std::vector<uint8_t> rgb;
+    int h = 0, w = 0, c_src = 3;
+    const int rc = decode_rgb_mem(buf, static_cast<size_t>(len), rgb,
+                                  h, w, c_src);
+    if (rc) return rc;
+    return finish_load(rgb, h, w, c_src, out_h, out_w, channels,
+                       resample, norm, out);
 }
 
 }  // extern "C"

@@ -75,6 +75,10 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
                                     ctypes.POINTER(i64),
                                     ctypes.POINTER(i64)]
         lib.imgio_probe.restype = i64
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.imgio_load_mem.argtypes = [u8p, i64, i64, i64, i64, i64,
+                                       ctypes.c_float, f32p]
+        lib.imgio_load_mem.restype = i64
         _jpeg_ok = _probe_jpeg(lib)
         _lib = lib
         return _lib
@@ -100,5 +104,29 @@ def load_image_native(path: str, size: tp.Tuple[int, int], color_mode: str,
                         1 if resample == "lanczos" else 0,
                         float(norm), out)
     if rc != 0:  # corrupt / 16-bit PNG / unsupported -> PIL decides
+        return None
+    return out
+
+
+def load_image_bytes_native(data: bytes, size: tp.Tuple[int, int],
+                            color_mode: str, resample: str = "lanczos",
+                            norm: float = 1.0) -> tp.Optional[np.ndarray]:
+    """Same pipeline from an in-memory PNG/JPEG buffer (HTTP request
+    bodies).  None -> caller must use the PIL path."""
+    lib = get_lib()
+    if lib is None or len(data) < 2:
+        return None
+    if data[:2] == b"\xff\xd8":
+        if not _jpeg_ok:
+            return None
+    elif data[:2] != b"\x89P":
+        return None  # not PNG/JPEG -> PIL decides
+    c = 1 if color_mode == "grayscale" else 3
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((size[0], size[1], c), np.float32)
+    rc = lib.imgio_load_mem(buf, buf.size, size[0], size[1], c,
+                            1 if resample == "lanczos" else 0,
+                            float(norm), out)
+    if rc != 0:
         return None
     return out

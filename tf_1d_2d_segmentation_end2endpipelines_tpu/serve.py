@@ -296,7 +296,13 @@ def _mask_to_png(label: np.ndarray, n_classes: int) -> bytes:
 def _decode_request(body: bytes, size: tp.Tuple[int, int], color_mode: str,
                     nf: float) -> np.ndarray:
     # same decode/resize/normalize convention as the data layer's
-    # load_image (generators.py), from an in-memory stream
+    # load_image (generators.py), from an in-memory stream; the native
+    # loader (bit-exact with PIL, tests/test_native_io.py) keeps PIL off
+    # the request path
+    from .native.imgio import load_image_bytes_native
+    arr = load_image_bytes_native(body, size, color_mode, "lanczos", nf)
+    if arr is not None:
+        return arr
     from PIL import Image
     img = Image.open(io.BytesIO(body))
     img = img.convert("L" if color_mode == "grayscale" else "RGB")
