@@ -192,3 +192,81 @@ def test_prefetch_loader_cache(tmp_path):
         ds, 2, shuffle=False, seed=5), 1)[0]]
     for a, b in zip(base1, base2):
         np.testing.assert_array_equal(a, b)
+
+
+def test_device_augment_properties():
+    """The jitted device pipeline: deterministic per key, different per
+    key, geometric ops hit image and mask identically, mask label values
+    survive (order-0 resampling), non-square inputs work (rot90 gated)."""
+    import jax
+    import jax.numpy as jnp
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.device_augment \
+        import augment_stream_key, make_device_augment
+
+    rng = np.random.default_rng(0)
+    aug = make_device_augment()
+    img = rng.uniform(0, 1, (4, 24, 24, 3)).astype(np.float32)
+    msk = rng.choice([0.0, 1.0], size=(4, 24, 24, 1)).astype(np.float32)
+    k1 = augment_stream_key(7, 0, 0)
+    a_img, a_msk = aug(k1, img, msk)
+    b_img, b_msk = aug(k1, img, msk)
+    np.testing.assert_array_equal(np.asarray(a_img), np.asarray(b_img))
+    np.testing.assert_array_equal(np.asarray(a_msk), np.asarray(b_msk))
+    c_img, _ = aug(augment_stream_key(7, 0, 1), img, msk)
+    assert not np.array_equal(np.asarray(a_img), np.asarray(c_img))
+    # label preservation: order-0 mask resampling invents no values
+    assert set(np.unique(np.asarray(a_msk))) <= {0.0, 1.0}
+    # intensities stay in the configured range
+    assert float(jnp.min(a_img)) >= 0.0 and float(jnp.max(a_img)) <= 1.0
+
+    # geometric consistency: feed the mask as the image too — after
+    # augmentation the (bilinear) image and (nearest) mask agree except
+    # on interpolation-boundary pixels
+    m3 = np.repeat(msk, 3, axis=-1)
+    g_img, g_msk = aug(augment_stream_key(3, 1, 2), m3, msk)
+    gi = np.asarray(g_img[..., :1]) > 0.5
+    gm = np.asarray(g_msk) > 0.5
+    iou = (gi & gm).sum() / max((gi | gm).sum(), 1)
+    assert iou > 0.93, iou
+
+    # non-square: rot90 is gated off, everything else runs
+    nimg = rng.uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
+    nmsk = rng.choice([0.0, 1.0], size=(2, 16, 24, 1)).astype(np.float32)
+    o_img, o_msk = aug(augment_stream_key(1, 0, 0), nimg, nmsk)
+    assert o_img.shape == nimg.shape and o_msk.shape == nmsk.shape
+    assert set(np.unique(np.asarray(o_msk))) <= {0.0, 1.0}
+
+
+def test_device_augment_driver(tmp_path):
+    """INI `augment_device = 1` trains through the 2D driver (DS pyramid
+    built from the AUGMENTED mask) and reruns reproduce exactly."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import \
+        train as run_train
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+        TrainConfig, load_train_config, save_train_config)
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=4)
+    cfg = TrainConfig(
+        train_dir=root, imlength=32, imwidth=32, model_width=4,
+        model_depth=2, decoder_name="UNet", model_genre="UNet",
+        batch_size=2, num_epochs=2, learning_rate=1e-3,
+        loss_function="BCEDiceLoss", metric_list=(),
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        start_fold=1, end_fold=1, save_history=False, load_weights=False,
+        independent_val_set=False, validation_portion=0.0,
+        augment_device=True)
+    ini = str(tmp_path / "t.ini")
+    save_train_config(cfg, ini)
+    assert load_train_config(ini).augment_device is True
+    h1 = run_train(config=cfg)
+    import shutil
+    shutil.rmtree(str(tmp_path / "R"))
+    h2 = run_train(config=cfg)
+    assert h1[1]["loss"] == h2[1]["loss"]
+    # augmentation actually perturbs training: a non-augmented run on the
+    # same data diverges
+    cfg_plain = load_train_config(ini)
+    cfg_plain.augment_device = False
+    cfg_plain.save_dir = str(tmp_path / "P")
+    h3 = run_train(config=cfg_plain)
+    assert h1[1]["loss"] != h3[1]["loss"]

@@ -3,6 +3,10 @@
 from .patch import create_patches, patch_grid, unpatchify  # noqa: F401
 from .pyramid import prepare_train_dict  # noqa: F401
 from .synthetic import batches, synthetic_images, synthetic_signals  # noqa: F401
+from .device_augment import (  # noqa: F401
+    augment_stream_key,
+    make_device_augment,
+)
 from .generators import (  # noqa: F401
     PrefetchLoader,
     SegmentationFolderDataset,

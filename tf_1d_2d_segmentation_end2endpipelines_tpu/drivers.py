@@ -203,8 +203,21 @@ def train(config_path: str = "Train_Configs.ini",
                 for x, y in raw_val():
                     yield x, _wrap_targets(y, cfg)
 
+        dev_aug = None
+        if cfg.augment_device:
+            from .data.device_augment import (augment_stream_key,
+                                              make_device_augment)
+            dev_aug = make_device_augment()
+
         def train_iter():
-            for x, y in loader():
+            # the loader's _epoch advances lazily on first next(); read
+            # it here so the device-augment stream is keyed by the SAME
+            # epoch counter (and replayed identically on exact resume)
+            e = loader._epoch
+            for i, (x, y) in enumerate(loader()):
+                if dev_aug is not None:
+                    x, y = dev_aug(augment_stream_key(cfg.seed, e, i),
+                                   x, y)
                 yield x, _wrap_targets(y, cfg)
         # exact resume reproduces the interrupted run's data order: the
         # loader's shuffle is (seed, epoch)-keyed, so fast-forwarding its

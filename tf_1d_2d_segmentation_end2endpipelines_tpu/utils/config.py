@@ -125,6 +125,12 @@ class TrainConfig:
     # pre-writes augmented copies offline, helper_functions.py:480-501;
     # that offline mode is the `tpuseg augment` CLI verb)
     augment: bool = False
+    # device-compiled augmentation: the same op set as `augment`, but as
+    # ONE jitted program over the whole batch on the accelerator
+    # (data/device_augment.py), keyed by (seed, epoch, step) so runs
+    # reproduce and exact resume replays the stream.  Use instead of
+    # `augment` when the host is the bottleneck
+    augment_device: bool = False
     # cache decoded images in RAM after epoch 1 (bulk-loader analog of
     # the reference's get_datasets, helper_functions.py:231-260, without
     # its up-front decode stall); augmentation/patchify still run
