@@ -11,6 +11,15 @@ survive exactly, image order-1 with reflect-101 borders), static shapes
 throughout.  Enabled with INI ``augment_device = 1`` — keyed by
 (seed, epoch, step) so runs reproduce and exact resume replays the same
 augmentation stream.
+
+Measured cost (v5e, b128 256x256x3): flips/rot90/jitter (``p_warp=0``)
+~26 ms/batch — ~10% of the b128 train step, effectively free.  The
+shift-scale-rotate warp is GATHER-bound (``map_coordinates`` does 4
+gathers/pixel, and TPU lowers general gathers slowly): ~620 ms/batch,
+more than the train step itself.  If you need the warp and have host
+cores, the host path (INI ``augment``) overlaps with device compute and
+is the better choice; this path wins on host-starved setups or for the
+warp-free op set.
 """
 from __future__ import annotations
 

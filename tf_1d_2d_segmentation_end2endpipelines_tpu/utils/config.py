@@ -128,8 +128,11 @@ class TrainConfig:
     # device-compiled augmentation: the same op set as `augment`, but as
     # ONE jitted program over the whole batch on the accelerator
     # (data/device_augment.py), keyed by (seed, epoch, step) so runs
-    # reproduce and exact resume replays the stream.  Use instead of
-    # `augment` when the host is the bottleneck
+    # reproduce and exact resume replays the stream.  Measured v5e cost
+    # at b128 256^2: flips/rot90/jitter ~26 ms/batch (~10% of the train
+    # step); the shift-scale-rotate warp is gather-bound on TPU and
+    # costs ~620 ms/batch — if you need the warp and have host cores,
+    # prefer `augment` (host path overlaps with device compute)
     augment_device: bool = False
     # cache decoded images in RAM after epoch 1 (bulk-loader analog of
     # the reference's get_datasets, helper_functions.py:231-260, without
