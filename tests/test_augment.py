@@ -227,7 +227,9 @@ def test_device_augment_properties():
     gi = np.asarray(g_img[..., :1]) > 0.5
     gm = np.asarray(g_msk) > 0.5
     iou = (gi & gm).sum() / max((gi | gm).sum(), 1)
-    assert iou > 0.93, iou
+    # bilinear (image) vs 3x-nearest (mask) shear rounding disagrees on
+    # boundary pixels of this 24x24 random mask; interiors coincide
+    assert iou > 0.9, iou
 
     # non-square: rot90 is gated off, everything else runs
     nimg = rng.uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
@@ -270,3 +272,75 @@ def test_device_augment_driver(tmp_path):
     cfg_plain.save_dir = str(tmp_path / "P")
     h3 = run_train(config=cfg_plain)
     assert h1[1]["loss"] != h3[1]["loss"]
+
+
+def test_fast_warp_matches_gather_reference():
+    """The TPU-first warp (3 Paeth shears + per-axis matmuls) reproduces
+    the gather-based map_coordinates warp's geometry: smooth-image MAE
+    < 0.01 in the interior, mask IoU > 0.9, label values exact."""
+    import jax.numpy as jnp
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.device_augment \
+        import _warp, _warp_fast
+
+    g = np.linspace(0, 1, 48)
+    img = (np.outer(np.sin(g * 6), np.cos(g * 5)) * 0.5 + 0.5
+           )[..., None].astype(np.float32)
+    msk = (img > 0.5).astype(np.float32)
+    for angle, scale, tx, ty in [(20.0, 1.0, 0.0, 0.0),
+                                 (-28.0, 1.05, 0.03, -0.02),
+                                 (0.0, 0.9, 0.05, -0.06)]:
+        ref = np.asarray(_warp(jnp.asarray(img), angle, scale, tx, ty, 1))
+        fast = np.asarray(_warp_fast(jnp.asarray(img), angle, scale,
+                                     tx, ty, 1, 16))
+        c = 8
+        assert np.abs(ref - fast)[c:-c, c:-c].mean() < 0.01, (angle, scale)
+        refm = np.asarray(_warp(jnp.asarray(msk), angle, scale, tx, ty, 0))
+        fastm = np.asarray(_warp_fast(jnp.asarray(msk), angle, scale,
+                                      tx, ty, 0, 16))
+        a, b = refm[c:-c, c:-c] > .5, fastm[c:-c, c:-c] > .5
+        assert (a & b).sum() / max((a | b).sum(), 1) > 0.9
+        assert set(np.unique(fastm)) <= {0.0, 1.0}
+
+
+def test_device_augment_warp_modes():
+    """batch mode shares warp params across the batch per step (params
+    still differ ACROSS steps); sample mode varies them within a batch;
+    both are deterministic per key."""
+    import jax.numpy as jnp
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.device_augment \
+        import augment_stream_key, make_device_augment
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (6, 20, 20, 1)).astype(np.float32)
+    msk = rng.choice([0.0, 1.0], size=(6, 20, 20, 1)).astype(np.float32)
+    for mode in ("batch", "sample"):
+        aug = make_device_augment(p_flip=0.0, p_warp=1.0, p_jitter=0.0,
+                                  warp_mode=mode)
+        k = augment_stream_key(5, 0, 0)
+        a1, m1 = aug(k, img, msk)
+        a2, _ = aug(k, img, msk)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        b1, _ = aug(augment_stream_key(5, 0, 1), img, msk)
+        assert not np.array_equal(np.asarray(a1), np.asarray(b1))
+        assert set(np.unique(np.asarray(m1))) <= {0.0, 1.0}
+    # identical NON-SQUARE inputs across the batch (rot90 is square-only,
+    # so the warp is the only per-sample geometric degree of freedom):
+    # batch mode warps them all the same way; sample mode does not
+    rng2 = np.random.default_rng(2)
+    img = rng2.uniform(0, 1, (1, 20, 24, 1)).astype(np.float32)
+    msk = rng2.choice([0.0, 1.0], size=(1, 20, 24, 1)).astype(np.float32)
+    same = np.repeat(img, 6, axis=0)
+    samem = np.repeat(msk, 6, axis=0)
+    k = augment_stream_key(9, 0, 0)
+    ab, _ = make_device_augment(p_flip=0.0, p_warp=1.0, p_jitter=0.0,
+                                warp_mode="batch")(k, same, samem)
+    ab = np.asarray(ab)
+    assert all(np.array_equal(ab[0], ab[i]) for i in range(6))
+    asamp, _ = make_device_augment(p_flip=0.0, p_warp=1.0, p_jitter=0.0,
+                                   warp_mode="sample")(k, same, samem)
+    asamp = np.asarray(asamp)
+    assert not all(np.array_equal(asamp[0], asamp[i]) for i in range(6))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        make_device_augment(warp_mode="nope")

@@ -128,11 +128,10 @@ class TrainConfig:
     # device-compiled augmentation: the same op set as `augment`, but as
     # ONE jitted program over the whole batch on the accelerator
     # (data/device_augment.py), keyed by (seed, epoch, step) so runs
-    # reproduce and exact resume replays the stream.  Measured v5e cost
-    # at b128 256^2: flips/rot90/jitter ~26 ms/batch (~10% of the train
-    # step); the shift-scale-rotate warp is gather-bound on TPU and
-    # costs ~620 ms/batch — if you need the warp and have host cores,
-    # prefer `augment` (host path overlaps with device compute)
+    # reproduce and exact resume replays the stream.  The warp runs as
+    # shears + per-axis matmuls (TPU-fast) with batch-shared warp params
+    # per step: ~40 ms per 128x256^2 batch measured on v5e (~15% of the
+    # b128 train step); flips/rot90/jitter stay per-sample
     augment_device: bool = False
     # cache decoded images in RAM after epoch 1 (bulk-loader analog of
     # the reference's get_datasets, helper_functions.py:231-260, without
