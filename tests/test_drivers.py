@@ -51,6 +51,11 @@ def test_train_and_test_drivers(tmp_path):
     assert os.path.isdir(os.path.join(cfg.save_dir, "Fold_1", "best"))
     assert os.path.exists(os.path.join(cfg.save_dir, "Fold_1",
                                        "history.png"))
+    # the reference's h5 history format too (Train.py:425-430)
+    import h5py
+    with h5py.File(os.path.join(cfg.save_dir, "Fold_1",
+                                "history.h5")) as hf:
+        assert len(hf["loss"]) == 2
 
     tcfg = EvalConfig(
         test_dir=str(data / "Test"), imheight=32, imwidth=32,

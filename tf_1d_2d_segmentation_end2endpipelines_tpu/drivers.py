@@ -290,6 +290,15 @@ def train(config_path: str = "Train_Configs.ini",
             os.makedirs(ckpt_dir, exist_ok=True)
             with open(os.path.join(ckpt_dir, "history.json"), "w") as f:
                 json.dump(history, f)
+            try:  # the reference's h5 history format (Train.py:425-430:
+                # one dataset per metric) for tooling that reads it
+                import h5py
+                with h5py.File(os.path.join(ckpt_dir, "history.h5"),
+                               "w") as hf:
+                    for k, v in history.items():
+                        hf.create_dataset(k, data=np.asarray(v))
+            except ImportError:
+                pass
             metric = cfg.metric_list[0] if cfg.metric_list else None
             plot_history(history, os.path.join(ckpt_dir, "history.png"),
                          metric_name=metric)
