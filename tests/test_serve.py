@@ -92,6 +92,16 @@ def test_http_server_predict(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(bad)
         assert exc.value.code == 400
+
+        # oversized Content-Length is refused up-front (413), bounding
+        # host memory per request
+        huge = urllib.request.Request(
+            base + "/predict", data=b"x",
+            headers={"Content-Length": str(512 * 1024 * 1024)},
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(huge)
+        assert exc.value.code == 413
     finally:
         server.shutdown()
         server.server_close()

@@ -351,6 +351,11 @@ def _make_handler(info: tp.Dict[str, tp.Any],
                 return
             try:  # client errors (undecodable payload) -> 400
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > 256 * 1024 * 1024:  # bound host memory per
+                    # request; megapixel PNGs are far below this
+                    self._send(413, b"error: request too large",
+                               "text/plain")
+                    return
                 body = self.rfile.read(length)
                 x = decode(body, self.headers)
             except Exception as e:  # noqa: BLE001 — serving must not die
