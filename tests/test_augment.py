@@ -344,3 +344,41 @@ def test_device_augment_warp_modes():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         make_device_augment(warp_mode="nope")
+
+
+def test_device_augment_driver_guards(tmp_path):
+    """patchify + augment_device is rejected loudly (the host path
+    augments whole images BEFORE patching), and value_range follows the
+    image normalization (raw 0-255 inputs keep their range)."""
+    import pytest
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import \
+        train as run_train
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import \
+        TrainConfig
+    root = str(tmp_path / "Train")
+    _write_pairs(root, n=2)
+    cfg = TrainConfig(
+        train_dir=root, imlength=32, imwidth=32, model_width=4,
+        model_depth=2, decoder_name="UNet", model_genre="UNet",
+        batch_size=2, num_epochs=1, learning_rate=1e-3,
+        loss_function="MeanSquaredError", metric_list=(),
+        monitor_param="loss", save_dir=str(tmp_path / "R"),
+        start_fold=1, end_fold=1, save_history=False, load_weights=False,
+        independent_val_set=False, validation_portion=0.0,
+        augment_device=True, patchify=True, patch_width=16,
+        patch_height=16)
+    with pytest.raises(ValueError, match="augment_device.*patchify"):
+        run_train(config=cfg)
+
+    # raw-range images (normalizing_factor_img=1): the jitter clip must
+    # NOT crush values to [0,1]
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.device_augment \
+        import augment_stream_key, make_device_augment
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (4, 16, 24, 3)).astype(np.float32)
+    msk = rng.choice([0.0, 255.0], size=(4, 16, 24, 1)).astype(np.float32)
+    aug = make_device_augment(p_flip=0.0, p_warp=0.0, p_jitter=1.0,
+                              value_range=255.0)
+    a, m = aug(augment_stream_key(1, 0, 0), img, msk)
+    assert float(np.asarray(a).max()) > 2.0  # not clipped to [0,1]
+    assert set(np.unique(np.asarray(m))) <= {0.0, 255.0}

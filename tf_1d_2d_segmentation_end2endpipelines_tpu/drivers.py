@@ -126,11 +126,17 @@ def _fold_dir(cfg, fold: int) -> str:
     return os.path.join(task, f"Fold_{fold}")
 
 
-def _wrap_targets(y: np.ndarray, cfg: TrainConfig):
+def _wrap_targets(y, cfg: TrainConfig, keep_device: bool = False):
     if cfg.d_s == 1:
-        return {k: np.asarray(v) for k, v in prepare_train_dict(
-            jnp.asarray(y), cfg.model_depth, cfg.ds_type,
-            spatial_rank=2).items()}  # the INI driver is the 2D pipeline
+        # the INI driver is the 2D pipeline (spatial_rank=2).  keep_device
+        # (augment_device path): y is already a device array — leave the
+        # pyramid on device instead of a blocking device->host->device
+        # round trip per step
+        targets = prepare_train_dict(jnp.asarray(y), cfg.model_depth,
+                                     cfg.ds_type, spatial_rank=2)
+        if keep_device:
+            return dict(targets)
+        return {k: np.asarray(v) for k, v in targets.items()}
     return y
 
 
@@ -148,6 +154,24 @@ def train(config_path: str = "Train_Configs.ini",
         os.makedirs(cfg.save_dir, exist_ok=True)
         save_train_config(cfg, os.path.join(cfg.save_dir,
                                             "Train_Configs.ini"))
+    dev_aug = None
+    if cfg.augment_device:
+        if cfg.patchify:
+            # the host path augments the WHOLE image before patchify
+            # (PrefetchLoader._load_one); after the loader, only patches
+            # exist — augmenting them independently would silently
+            # diverge from the documented semantics
+            raise ValueError(
+                "augment_device does not compose with patchify (patches "
+                "of one image would augment independently); use the host "
+                "path: augment = 1")
+        from .data.device_augment import (augment_stream_key,
+                                          make_device_augment)
+        # hoisted out of the fold loop so the jitted program compiles
+        # once; value_range follows the normalization (raw 0-255 inputs
+        # keep their range, like the host augment_pair's hi detection)
+        dev_aug = make_device_augment(
+            value_range=255.0 / cfg.normalizing_factor_img)
     for fold in range(cfg.start_fold, cfg.end_fold + 1):
         model = _build_model(cfg, dtype=dtype)
         size = (cfg.imlength, cfg.imwidth)
@@ -203,12 +227,6 @@ def train(config_path: str = "Train_Configs.ini",
                 for x, y in raw_val():
                     yield x, _wrap_targets(y, cfg)
 
-        dev_aug = None
-        if cfg.augment_device:
-            from .data.device_augment import (augment_stream_key,
-                                              make_device_augment)
-            dev_aug = make_device_augment()
-
         def train_iter():
             # the loader's _epoch advances lazily on first next(); read
             # it here so the device-augment stream is keyed by the SAME
@@ -218,7 +236,8 @@ def train(config_path: str = "Train_Configs.ini",
                 if dev_aug is not None:
                     x, y = dev_aug(augment_stream_key(cfg.seed, e, i),
                                    x, y)
-                yield x, _wrap_targets(y, cfg)
+                yield x, _wrap_targets(y, cfg,
+                                       keep_device=dev_aug is not None)
         # exact resume reproduces the interrupted run's data order: the
         # loader's shuffle is (seed, epoch)-keyed, so fast-forwarding its
         # epoch counter replays the epochs the run would have seen
@@ -291,14 +310,17 @@ def train(config_path: str = "Train_Configs.ini",
             with open(os.path.join(ckpt_dir, "history.json"), "w") as f:
                 json.dump(history, f)
             try:  # the reference's h5 history format (Train.py:425-430:
-                # one dataset per metric) for tooling that reads it
+                # one dataset per metric) for tooling that reads it —
+                # a convenience artifact: ANY failure (h5py absent, file
+                # locked, disk full) must not abort the remaining folds
                 import h5py
                 with h5py.File(os.path.join(ckpt_dir, "history.h5"),
                                "w") as hf:
                     for k, v in history.items():
                         hf.create_dataset(k, data=np.asarray(v))
-            except ImportError:
-                pass
+            except Exception as e:  # noqa: BLE001
+                print(f"WARNING: could not write history.h5 ({e})",
+                      flush=True)
             metric = cfg.metric_list[0] if cfg.metric_list else None
             plot_history(history, os.path.join(ckpt_dir, "history.png"),
                          metric_name=metric)

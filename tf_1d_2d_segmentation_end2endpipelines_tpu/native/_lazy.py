@@ -10,9 +10,20 @@ failure here just means "no native fast path".
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import typing as tp
+
+
+def versioned_so(src: str, stem: str) -> str:
+    """Source-hashed .so path next to ``src``: a changed .cpp gets a new
+    filename, so a stale library from an older checkout can never be
+    dlopened with missing/renamed symbols (the .so files are gitignored
+    and survive pulls)."""
+    with open(src, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(src), f"{stem}-{h}.so")
 
 
 def build(src: str, so: str, extra_flags: tp.Sequence[str] = ()) -> bool:

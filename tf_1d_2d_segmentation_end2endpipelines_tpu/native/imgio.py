@@ -16,11 +16,12 @@ import typing as tp
 
 import numpy as np
 
-from ._lazy import load as _lazy_load
+from ._lazy import load as _lazy_load, versioned_so as _versioned_so
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libimgio.so")
 _SRC = os.path.join(_DIR, "imgio.cpp")
+# source-hashed: an edited imgio.cpp can never dlopen a stale build
+_SO = _versioned_so(_SRC, "libimgio")
 _lock = threading.Lock()
 _lib: tp.Optional[ctypes.CDLL] = None
 _tried = False

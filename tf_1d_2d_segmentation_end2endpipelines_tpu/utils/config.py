@@ -131,7 +131,11 @@ class TrainConfig:
     # reproduce and exact resume replays the stream.  The warp runs as
     # shears + per-axis matmuls (TPU-fast) with batch-shared warp params
     # per step: ~40 ms per 128x256^2 batch measured on v5e (~15% of the
-    # b128 train step); flips/rot90/jitter stay per-sample
+    # b128 train step); flips/rot90/jitter stay per-sample.  Does not
+    # compose with `patchify` (the host path augments whole images
+    # before patching; use `augment` there), and the augment program
+    # runs on the default device before the batch is distributed —
+    # intended for single-host meshes
     augment_device: bool = False
     # cache decoded images in RAM after epoch 1 (bulk-loader analog of
     # the reference's get_datasets, helper_functions.py:231-260, without
