@@ -392,3 +392,46 @@ def test_driver_exact_resume_ini(tmp_path):
     assert os.path.isfile(fold_dir / "last.meta.json")
     with open(fold_dir / "last.meta.json") as f:
         assert json.load(f)["epoch"] == 4
+
+
+def test_exact_resume_with_device_augment_and_cache(tmp_path):
+    """The strongest data-order guarantee: exact resume under
+    augment_device + cache_data.  The augmentation stream is keyed by
+    (seed, epoch, step) through the loader's epoch counter, so an
+    interrupted-and-resumed driver run reproduces the straight run's
+    losses exactly, augmentations included."""
+    from PIL import Image
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import \
+        train as run_train
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import \
+        TrainConfig
+
+    root = tmp_path / "Train"
+    rng = np.random.default_rng(0)
+    for sub in ("images", "masks"):
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(4):
+        img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        msk = np.zeros((32, 32), np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(str(root / "images" / f"{i}.png"))
+        Image.fromarray(msk).save(str(root / "masks" / f"{i}.png"))
+
+    def cfg(save, epochs):
+        return TrainConfig(
+            train_dir=str(root), imlength=32, imwidth=32, model_width=4,
+            model_depth=2, decoder_name="UNet", model_genre="UNet",
+            batch_size=2, num_epochs=epochs, learning_rate=1e-2,
+            loss_function="BCEDiceLoss", metric_list=(),
+            monitor_param="loss", save_dir=str(tmp_path / save),
+            start_fold=1, end_fold=1, save_history=False,
+            load_weights=False, independent_val_set=False,
+            validation_portion=0.0, exact_resume=True,
+            augment_device=True, cache_data=True)
+
+    straight = run_train(config=cfg("A", 4))[1]
+    run_train(config=cfg("B", 2))
+    resumed = run_train(config=cfg("B", 4))[1]
+    assert len(resumed["loss"]) == 4
+    np.testing.assert_allclose(resumed["loss"], straight["loss"],
+                               rtol=0, atol=0)
