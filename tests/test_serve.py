@@ -102,6 +102,15 @@ def test_http_server_predict(tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(huge)
         assert exc.value.code == 413
+
+        # /metrics: Prometheus text with the request counters and the
+        # success-latency summary reflecting the traffic above
+        text = urllib.request.urlopen(base + "/metrics").read().decode()
+        assert 'tpuseg_requests_total{code="200"} 1' in text
+        assert 'tpuseg_requests_total{code="400"} 1' in text
+        assert 'tpuseg_requests_total{code="413"} 1' in text
+        assert "tpuseg_request_latency_seconds_count 1" in text
+        assert 'quantile="0.5"' in text
     finally:
         server.shutdown()
         server.server_close()

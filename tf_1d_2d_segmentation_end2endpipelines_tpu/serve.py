@@ -314,18 +314,61 @@ def _decode_request(body: bytes, size: tp.Tuple[int, int], color_mode: str,
     return arr / nf
 
 
+class _ServerMetrics:
+    """Thread-safe request counters + a latency ring for /metrics
+    (Prometheus text exposition — the reference has no serving story at
+    all, SURVEY.md §5; this is the observability surface a production
+    deployment scrapes)."""
+
+    def __init__(self, window: int = 1024):
+        import collections
+        import threading
+        self._lock = threading.Lock()
+        self.requests = {"200": 0, "400": 0, "413": 0, "500": 0}
+        self._lat = collections.deque(maxlen=window)
+
+    def record(self, code: int, latency_s: tp.Optional[float]) -> None:
+        with self._lock:
+            key = str(code)
+            self.requests[key] = self.requests.get(key, 0) + 1
+            if latency_s is not None and code == 200:
+                self._lat.append(latency_s)
+
+    def render(self) -> bytes:
+        with self._lock:
+            lines = ["# TYPE tpuseg_requests_total counter"]
+            for code, n in sorted(self.requests.items()):
+                lines.append(
+                    f'tpuseg_requests_total{{code="{code}"}} {n}')
+            lat = sorted(self._lat)
+            lines.append("# TYPE tpuseg_request_latency_seconds summary")
+            for q in (0.5, 0.9, 0.99):
+                v = lat[min(int(q * len(lat)), len(lat) - 1)] if lat \
+                    else float("nan")
+                lines.append(
+                    f'tpuseg_request_latency_seconds{{quantile="{q}"}} '
+                    f"{v:.6f}")
+            lines.append(f"tpuseg_request_latency_seconds_count {len(lat)}")
+        return ("\n".join(lines) + "\n").encode()
+
+
 def _make_handler(info: tp.Dict[str, tp.Any],
                   decode: tp.Callable[[bytes, tp.Mapping], np.ndarray],
                   predict_one: tp.Callable[[np.ndarray], np.ndarray],
                   respond: tp.Callable[[np.ndarray],
                                        tp.Tuple[bytes, str]]):
     """The HTTP skeleton shared by the 2D and 1D servers: /healthz,
-    /info, and a POST /predict that maps client decode errors to 400 and
-    server-side faults to 500.  ``decode(body, headers) -> example``;
-    ``respond(pred) -> (body, content_type)``."""
+    /info, /metrics, and a POST /predict that maps client decode errors
+    to 400 and server-side faults to 500.  ``decode(body, headers) ->
+    example``; ``respond(pred) -> (body, content_type)``."""
     import http.server
+    import time as _time
+
+    metrics = _ServerMetrics()
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        server_metrics = metrics  # exposed for the owning server/tests
+
         def log_message(self, *args):  # quiet by default
             pass
 
@@ -342,6 +385,9 @@ def _make_handler(info: tp.Dict[str, tp.Any],
             elif self.path == "/info":
                 self._send(200, json.dumps(info).encode(),
                            "application/json")
+            elif self.path == "/metrics":
+                self._send(200, metrics.render(),
+                           "text/plain; version=0.0.4")
             else:
                 self._send(404, b"not found", "text/plain")
 
@@ -349,22 +395,27 @@ def _make_handler(info: tp.Dict[str, tp.Any],
             if not self.path.startswith("/predict"):
                 self._send(404, b"not found", "text/plain")
                 return
+            t0 = _time.perf_counter()
             try:  # client errors (undecodable payload) -> 400
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > 256 * 1024 * 1024:  # bound host memory per
                     # request; megapixel PNGs are far below this
+                    metrics.record(413, None)
                     self._send(413, b"error: request too large",
                                "text/plain")
                     return
                 body = self.rfile.read(length)
                 x = decode(body, self.headers)
             except Exception as e:  # noqa: BLE001 — serving must not die
+                metrics.record(400, None)
                 self._send(400, f"error: {e}".encode(), "text/plain")
                 return
             try:  # server-side faults (predict/encode) -> 500
                 out_body, ctype = respond(predict_one(x))
+                metrics.record(200, _time.perf_counter() - t0)
                 self._send(200, out_body, ctype)
             except Exception as e:  # noqa: BLE001
+                metrics.record(500, None)
                 self._send(500, f"error: {e}".encode(), "text/plain")
 
     return Handler
@@ -538,6 +589,35 @@ def make_server_1d(cfg, host: str = "127.0.0.1", port: int = 8000,
     return server
 
 
+def _serve_until_stopped(server) -> None:
+    """serve_forever with graceful teardown: SIGTERM (scheduler kill /
+    pod preemption) and Ctrl-C both drain in-flight requests, stop the
+    dynamic batcher's worker, and close the socket instead of dying
+    mid-response."""
+    import signal
+    import threading
+
+    def _stop(*_):
+        # shutdown() must not run on the serve_forever thread
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _stop)
+    except ValueError:  # not the main thread (embedded/test use)
+        prev = None
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    finally:
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+        if getattr(server, "batcher", None) is not None:
+            server.batcher.close()
+        server.server_close()
+        print("tpuseg server stopped", flush=True)
+
+
 def serve_1d(config_path: str = "Signal_Configs.ini",
              host: str = "127.0.0.1", port: int = 8000,
              max_batch: int = 1) -> None:
@@ -550,10 +630,7 @@ def serve_1d(config_path: str = "Signal_Configs.ini",
     print(f"tpuseg serving 1D {cfg.model_name} on "
           f"http://{host}:{server.server_address[1]}  (POST /predict)",
           flush=True)
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        server.shutdown()
+    _serve_until_stopped(server)
 
 
 def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
@@ -572,7 +649,4 @@ def serve(config_path: str = "Train_Configs.ini", host: str = "127.0.0.1",
     print(f"tpuseg serving {cfg.encoder_name}_{cfg.decoder_name} on "
           f"http://{host}:{server.server_address[1]}  (POST /predict)",
           flush=True)
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        server.shutdown()
+    _serve_until_stopped(server)
