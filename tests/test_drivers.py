@@ -351,3 +351,16 @@ def test_predict_cli_patchify(tmp_path):
     written = predict(cfg, input_path=str(raw), out_dir=str(out))
     assert len(written) == 1
     assert PImage.open(written[0]).size == (64, 64)
+
+
+def test_doctor_cli(capsys):
+    """`tpuseg doctor` reports the environment without crashing and all
+    required dependencies are present in CI."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import doctor
+    report = doctor()
+    out = capsys.readouterr().out
+    for key in ("jax", "backend", "flax", "native_patcher",
+                "native_imgio", "smoke_compile"):
+        assert key in report and key in out
+    assert "MISSING" not in out
+    assert report["smoke_compile"].startswith("ok")

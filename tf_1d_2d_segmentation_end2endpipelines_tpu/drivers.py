@@ -652,6 +652,70 @@ def _write_mask(pred, src_path, out_dir, class_number, threshold, n_fg):
     return dst
 
 
+def doctor() -> dict:
+    """Environment diagnostics (`tpuseg doctor`): versions, devices, the
+    native fast paths' status, optional-dependency availability, and a
+    tiny compile smoke — the first thing to run on a new host."""
+    import importlib
+    import time
+
+    import jax
+
+    report: tp.Dict[str, tp.Any] = {}
+    report["jax"] = jax.__version__
+    try:
+        devs = jax.devices()
+        report["backend"] = devs[0].platform
+        report["devices"] = len(devs)
+        report["device_kind"] = devs[0].device_kind
+    except Exception as e:  # noqa: BLE001 — diagnose, don't crash
+        report["backend"] = f"UNAVAILABLE ({e})"
+    for mod in ("flax", "optax", "orbax.checkpoint", "numpy"):
+        try:
+            m = importlib.import_module(mod)
+            report[mod] = getattr(m, "__version__", "present")
+        except ImportError:
+            report[mod] = "MISSING (required)"
+    for mod, why in (("tensorflow", "Keras parity fixtures + pretrained "
+                      "ImageNet weight conversion"),
+                     ("PIL", "image IO fallback"),
+                     ("h5py", "h5 history/CheXNet weights"),
+                     ("pandas", "xlsx reports"),
+                     ("matplotlib", "plots"),
+                     ("cv2", "augmentation warps (host path)"),
+                     ("sklearn", "ROC/PRC curves")):
+        try:
+            importlib.import_module(mod)
+            report[mod] = "ok"
+        except Exception:  # noqa: BLE001
+            report[mod] = f"absent ({why} unavailable)"
+    from .native import get_lib as patcher_lib
+    from .native import imgio
+    report["native_patcher"] = "built" if patcher_lib() else \
+        "unavailable (numpy fallback active)"
+    if imgio.get_lib():
+        report["native_imgio"] = "built" + (
+            "" if imgio._jpeg_ok else
+            " (JPEG self-check failed -> PIL decodes JPEGs)")
+    else:
+        report["native_imgio"] = "unavailable (PIL fallback active)"
+    report["compile_cache"] = os.environ.get("TPUSEG_COMPILE_CACHE",
+                                             "(unset)")
+    report["multihost"] = os.environ.get("TPUSEG_MULTIHOST", "(unset)")
+    try:
+        import jax.numpy as _jnp
+        t0 = time.time()
+        v = jax.jit(lambda a: (a * 2 + 1).sum())(_jnp.ones((128, 128)))
+        report["smoke_compile"] = (f"ok ({float(v):.0f} in "
+                                   f"{time.time() - t0:.2f}s)")
+    except Exception as e:  # noqa: BLE001
+        report["smoke_compile"] = f"FAILED ({e})"
+    width = max(len(k) for k in report)
+    for k, v in report.items():
+        print(f"{k:<{width}}  {v}", flush=True)
+    return report
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     import argparse
     parser = argparse.ArgumentParser(prog="tpuseg")
@@ -751,6 +815,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_fld.add_argument("--test-portion", type=float, default=0.2)
     p_fld.add_argument("--val-portion", type=float, default=0.1)
     p_fld.add_argument("--seed", type=int, default=1)
+    sub.add_parser("doctor", help="environment diagnostics: versions, "
+                   "devices, native fast-path status, optional deps, "
+                   "compile smoke")
     args = parser.parse_args(argv)
     # production launch plumbing (both opt-in via env, utils/multihost.py):
     # TPUSEG_MULTIHOST=1 -> jax.distributed.initialize() for pod runs;
@@ -823,6 +890,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                      num_folds=args.folds, test_portion=args.test_portion,
                      val_portion=args.val_portion, seed=args.seed)
         print(f"wrote {args.folds} folds under {args.out}/", flush=True)
+    elif args.cmd == "doctor":
+        doctor()
     else:
         test(args.config)
 
