@@ -191,3 +191,38 @@ def test_native_imgio_matches_pil_random_geometry(tmp_path_factory, h, w,
     nat = load_image_native(path, (oh, ow), cm, res)
     assert nat is not None
     np.testing.assert_array_equal(nat, ref)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1))
+def test_train_config_ini_roundtrip_random(seed, tmp_path_factory):
+    """Randomized INI round-trip: every TrainConfig field type (bool,
+    int, float, str, tuple) survives save -> load exactly."""
+    import dataclasses
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+        TrainConfig, load_train_config, save_train_config)
+    rng = np.random.default_rng(seed)
+    kwargs = {}
+    for f in dataclasses.fields(TrainConfig):
+        if f.type == "bool" or isinstance(f.default, bool):
+            kwargs[f.name] = bool(rng.integers(0, 2))
+        elif isinstance(f.default, int):
+            kwargs[f.name] = int(rng.integers(1, 64))
+        elif isinstance(f.default, float):
+            kwargs[f.name] = float(np.round(rng.uniform(0.01, 2.0), 6))
+        elif isinstance(f.default, tuple):
+            kwargs[f.name] = tuple(
+                rng.choice(["BinaryAccuracy", "AUC", "Precision"],
+                           size=rng.integers(0, 3), replace=False))
+    cfg = TrainConfig(**kwargs)
+    path = str(tmp_path_factory.mktemp("ini") / "t.ini")
+    save_train_config(cfg, path)
+    back = load_train_config(path)
+    for f in dataclasses.fields(TrainConfig):
+        got, want = getattr(back, f.name), getattr(cfg, f.name)
+        if isinstance(want, float):
+            assert got == pytest.approx(want, rel=1e-9), f.name
+        elif isinstance(want, tuple):
+            assert tuple(got) == tuple(want), f.name
+        else:
+            assert got == want, f.name
