@@ -74,5 +74,55 @@ def main():
     print(json.dumps(results))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--loader" not in __import__("sys").argv:
     main()
+
+
+def loader_epoch_bench():
+    """Loader-level A/B: epoch wall time over a 64-image 512->256 dataset
+    through PrefetchLoader — PIL vs native decode vs cached epochs.
+    Run: python benchmarks/native_io_bench.py --loader"""
+    import shutil
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.generators import (
+        PrefetchLoader, SegmentationFolderDataset)
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp()
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+    for i in range(64):
+        Image.fromarray(rng.integers(0, 256, (512, 512, 3), dtype=np.uint8)
+                        ).save(os.path.join(tmp, "images", f"{i}.png"))
+        Image.fromarray(((rng.uniform(0, 1, (512, 512)) > 0.5) * 255)
+                        .astype(np.uint8)
+                        ).save(os.path.join(tmp, "masks", f"{i}.png"))
+    ds = SegmentationFolderDataset(tmp, (256, 256))
+
+    def epoch(loader):
+        n = 0
+        for x, y in loader():
+            n += x.shape[0]
+        return n
+
+    results = {}
+    for label, env, cache in (("pil", "0", False),
+                              ("native", "1", False),
+                              ("native+cache(ep2)", "1", True)):
+        os.environ["TPUSEG_NATIVE_IO"] = env
+        import tf_1d_2d_segmentation_end2endpipelines_tpu.native.imgio as m
+        m._lib = None
+        m._tried = False
+        loader = PrefetchLoader(ds, 8, shuffle=False, cache=cache)
+        epoch(loader)  # warm (and fills the cache when enabled)
+        t0 = time.perf_counter()
+        epoch(loader)
+        dt = time.perf_counter() - t0
+        results[label] = round(dt * 1e3, 1)
+        print(f"{label}: {dt * 1e3:.0f} ms/epoch ({64 / dt:.1f} img/s)")
+    os.environ.pop("TPUSEG_NATIVE_IO", None)
+    shutil.rmtree(tmp)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--loader" in __import__("sys").argv:
+    loader_epoch_bench()
