@@ -110,8 +110,7 @@ def loader_epoch_bench():
                               ("native+cache(ep2)", "1", True)):
         os.environ["TPUSEG_NATIVE_IO"] = env
         import tf_1d_2d_segmentation_end2endpipelines_tpu.native.imgio as m
-        m._lib = None
-        m._tried = False
+        m.reset()
         loader = PrefetchLoader(ds, 8, shuffle=False, cache=cache)
         epoch(loader)  # warm (and fills the cache when enabled)
         t0 = time.perf_counter()

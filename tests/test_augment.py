@@ -369,6 +369,14 @@ def test_device_augment_driver_guards(tmp_path):
         patch_height=16)
     with pytest.raises(ValueError, match="augment_device.*patchify"):
         run_train(config=cfg)
+    # invalid combos fail BEFORE artifacts are written
+    assert not os.path.exists(str(tmp_path / "R"))
+
+    cfg.patchify = False
+    cfg.augment = True  # host + device double-augmentation: also loud
+    with pytest.raises(ValueError, match="ALTERNATIVES"):
+        run_train(config=cfg)
+    assert not os.path.exists(str(tmp_path / "R"))
 
     # raw-range images (normalizing_factor_img=1): the jitter clip must
     # NOT crush values to [0,1]

@@ -103,13 +103,19 @@ def test_http_server_predict(tmp_path):
             urllib.request.urlopen(huge)
         assert exc.value.code == 413
 
-        # /metrics: Prometheus text with the request counters and the
-        # success-latency summary reflecting the traffic above
+        # /metrics: Prometheus text counting EVERY response by code
+        # (healthz + info + predict above = three 200s) with a
+        # cumulative latency summary for successful predicts only
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(base + "/nope")
+        assert exc.value.code == 404
         text = urllib.request.urlopen(base + "/metrics").read().decode()
-        assert 'tpuseg_requests_total{code="200"} 1' in text
+        assert 'tpuseg_requests_total{code="200"} 3' in text
         assert 'tpuseg_requests_total{code="400"} 1' in text
+        assert 'tpuseg_requests_total{code="404"} 1' in text
         assert 'tpuseg_requests_total{code="413"} 1' in text
         assert "tpuseg_request_latency_seconds_count 1" in text
+        assert "tpuseg_request_latency_seconds_sum " in text
         assert 'quantile="0.5"' in text
     finally:
         server.shutdown()

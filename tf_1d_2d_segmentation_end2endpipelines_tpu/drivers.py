@@ -146,6 +146,23 @@ def train(config_path: str = "Train_Configs.ini",
     """Fold-loop training driver.  Returns {fold: history}."""
     cfg = config if config is not None else load_train_config(config_path)
     histories: tp.Dict[int, tp.Dict[str, tp.List[float]]] = {}
+    # validate BEFORE any artifact is written: a run that can never
+    # start must not leave a persisted config for a later `test` to
+    # rebuild from
+    if cfg.augment_device and cfg.patchify:
+        # the host path augments the WHOLE image before patchify
+        # (PrefetchLoader._load_one); after the loader, only patches
+        # exist — augmenting them independently would silently diverge
+        # from the documented semantics
+        raise ValueError(
+            "augment_device does not compose with patchify (patches "
+            "of one image would augment independently); use the host "
+            "path: augment = 1")
+    if cfg.augment_device and cfg.augment:
+        raise ValueError(
+            "augment and augment_device are ALTERNATIVES (the same op "
+            "set on host vs accelerator); enabling both would "
+            "double-augment every sample — pick one")
     # persist the model-defining config with the artifacts so a standalone
     # `test` run can rebuild the exact architecture (the reference instead
     # reloads the full .keras graph, Test.py:110-116 — weights-only orbax
@@ -156,15 +173,6 @@ def train(config_path: str = "Train_Configs.ini",
                                             "Train_Configs.ini"))
     dev_aug = None
     if cfg.augment_device:
-        if cfg.patchify:
-            # the host path augments the WHOLE image before patchify
-            # (PrefetchLoader._load_one); after the loader, only patches
-            # exist — augmenting them independently would silently
-            # diverge from the documented semantics
-            raise ValueError(
-                "augment_device does not compose with patchify (patches "
-                "of one image would augment independently); use the host "
-                "path: augment = 1")
         from .data.device_augment import (augment_stream_key,
                                           make_device_augment)
         # hoisted out of the fold loop so the jitted program compiles

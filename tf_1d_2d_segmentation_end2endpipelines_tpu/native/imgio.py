@@ -85,6 +85,18 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
         return _lib
 
 
+def reset() -> None:
+    """Forget the loaded library so the next ``get_lib`` re-evaluates the
+    TPUSEG_NATIVE_IO gate and re-runs the JPEG self-check (tests and
+    benchmarks toggling the env var use this instead of poking module
+    privates)."""
+    global _lib, _tried, _jpeg_ok
+    with _lock:
+        _lib = None
+        _tried = False
+        _jpeg_ok = False
+
+
 def load_image_native(path: str, size: tp.Tuple[int, int], color_mode: str,
                       resample: str = "lanczos", norm: float = 1.0
                       ) -> tp.Optional[np.ndarray]:

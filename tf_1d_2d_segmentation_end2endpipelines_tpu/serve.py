@@ -324,15 +324,22 @@ class _ServerMetrics:
         import collections
         import threading
         self._lock = threading.Lock()
-        self.requests = {"200": 0, "400": 0, "413": 0, "500": 0}
-        self._lat = collections.deque(maxlen=window)
+        self.requests = {"200": 0, "400": 0, "404": 0, "413": 0, "500": 0}
+        self._lat = collections.deque(maxlen=window)  # quantiles only
+        self._lat_count = 0   # cumulative (summary _count must be
+        self._lat_sum = 0.0   # monotonic, not the window length)
 
-    def record(self, code: int, latency_s: tp.Optional[float]) -> None:
+    def record_code(self, code: int) -> None:
+        """Count EVERY response (predict or not) by status code."""
         with self._lock:
             key = str(code)
             self.requests[key] = self.requests.get(key, 0) + 1
-            if latency_s is not None and code == 200:
-                self._lat.append(latency_s)
+
+    def record_latency(self, latency_s: float) -> None:
+        with self._lock:
+            self._lat.append(latency_s)
+            self._lat_count += 1
+            self._lat_sum += latency_s
 
     def render(self) -> bytes:
         with self._lock:
@@ -343,12 +350,17 @@ class _ServerMetrics:
             lat = sorted(self._lat)
             lines.append("# TYPE tpuseg_request_latency_seconds summary")
             for q in (0.5, 0.9, 0.99):
+                # quantiles over the sliding window (recent behavior)...
                 v = lat[min(int(q * len(lat)), len(lat) - 1)] if lat \
                     else float("nan")
                 lines.append(
                     f'tpuseg_request_latency_seconds{{quantile="{q}"}} '
                     f"{v:.6f}")
-            lines.append(f"tpuseg_request_latency_seconds_count {len(lat)}")
+            # ...but _sum/_count are CUMULATIVE (rate() needs monotonic)
+            lines.append(
+                f"tpuseg_request_latency_seconds_sum {self._lat_sum:.6f}")
+            lines.append(
+                f"tpuseg_request_latency_seconds_count {self._lat_count}")
         return ("\n".join(lines) + "\n").encode()
 
 
@@ -373,11 +385,18 @@ def _make_handler(info: tp.Dict[str, tp.Any],
             pass
 
         def _send(self, code: int, body: bytes, ctype: str):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            # count at send time: every response (incl. 404s) appears in
+            # /metrics exactly ONCE, even if the client hung up and the
+            # socket write below fails
+            metrics.record_code(code)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except OSError:
+                pass  # client gone; the response is already counted
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -400,23 +419,21 @@ def _make_handler(info: tp.Dict[str, tp.Any],
                 length = int(self.headers.get("Content-Length", "0"))
                 if length > 256 * 1024 * 1024:  # bound host memory per
                     # request; megapixel PNGs are far below this
-                    metrics.record(413, None)
                     self._send(413, b"error: request too large",
                                "text/plain")
                     return
                 body = self.rfile.read(length)
                 x = decode(body, self.headers)
             except Exception as e:  # noqa: BLE001 — serving must not die
-                metrics.record(400, None)
                 self._send(400, f"error: {e}".encode(), "text/plain")
                 return
             try:  # server-side faults (predict/encode) -> 500
                 out_body, ctype = respond(predict_one(x))
-                metrics.record(200, _time.perf_counter() - t0)
-                self._send(200, out_body, ctype)
             except Exception as e:  # noqa: BLE001
-                metrics.record(500, None)
                 self._send(500, f"error: {e}".encode(), "text/plain")
+                return
+            metrics.record_latency(_time.perf_counter() - t0)
+            self._send(200, out_body, ctype)
 
     return Handler
 
@@ -612,9 +629,12 @@ def _serve_until_stopped(server) -> None:
     finally:
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
+        # order matters: server_close() JOINS in-flight handler threads
+        # (block_on_close) so batched requests already in predict finish
+        # BEFORE the batcher worker is torn down
+        server.server_close()
         if getattr(server, "batcher", None) is not None:
             server.batcher.close()
-        server.server_close()
         print("tpuseg server stopped", flush=True)
 
 
