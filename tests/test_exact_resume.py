@@ -435,3 +435,50 @@ def test_exact_resume_with_device_augment_and_cache(tmp_path):
     assert len(resumed["loss"]) == 4
     np.testing.assert_allclose(resumed["loss"], straight["loss"],
                                rtol=0, atol=0)
+
+
+def test_finetune_stage_not_swallowed_by_exact_resume(tmp_path):
+    """The reference's fine-tune flow re-runs train into the SAME
+    save_dir with a changed config (lower LR, notebook cells 53-55).
+    With exact_resume on, stage 1's completed 'last' checkpoint must NOT
+    make stage 2 think its epochs are already trained — the config
+    token detects the change and the stage starts fresh; re-running the
+    SAME stage-2 config afterwards resumes normally."""
+    from PIL import Image
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import \
+        train as run_train
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import \
+        TrainConfig
+
+    root = tmp_path / "Train"
+    rng = np.random.default_rng(0)
+    for sub in ("images", "masks"):
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(4):
+        img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        msk = np.zeros((32, 32), np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(str(root / "images" / f"{i}.png"))
+        Image.fromarray(msk).save(str(root / "masks" / f"{i}.png"))
+
+    def cfg(lr, load):
+        return TrainConfig(
+            train_dir=str(root), imlength=32, imwidth=32, model_width=4,
+            model_depth=2, decoder_name="UNet", model_genre="UNet",
+            batch_size=2, num_epochs=2, learning_rate=lr,
+            loss_function="BCEDiceLoss", metric_list=(),
+            monitor_param="loss", save_dir=str(tmp_path / "R"),
+            start_fold=1, end_fold=1, save_history=False,
+            load_weights=load, independent_val_set=False,
+            validation_portion=0.0, exact_resume=True)
+
+    h1 = run_train(config=cfg(1e-2, False))
+    assert len(h1[1]["loss"]) == 2  # stage 1 complete
+    # stage 2: changed LR (the fine-tune stage), same save_dir
+    h2 = run_train(config=cfg(5e-5, True))
+    assert len(h2[1]["loss"]) == 2, \
+        "fine-tune stage was swallowed by stage 1's resume state"
+    assert h2[1]["loss"] != h1[1]["loss"]
+    # unchanged stage-2 config re-run: already complete -> 0 new epochs
+    h3 = run_train(config=cfg(5e-5, True))
+    assert h3[1].get("loss", h2[1]["loss"]) == h2[1]["loss"]

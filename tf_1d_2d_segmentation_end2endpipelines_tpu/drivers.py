@@ -47,7 +47,8 @@ from .train import (
     default_ds_weights,
 )
 from .utils.config import (TestConfig, TrainConfig, load_test_config,
-                           load_train_config, save_train_config)
+                           load_train_config, resume_token,
+                           save_train_config)
 
 
 def _resolve_dtype(cfg: TrainConfig, dtype):
@@ -311,6 +312,7 @@ def train(config_path: str = "Train_Configs.ini",
                                           f"Fold_{fold}")
                              if cfg.tensorboard_dir else None),
             exact_resume=cfg.exact_resume,
+            resume_token=resume_token(cfg),
         )
         histories[fold] = history
         if cfg.save_history:

@@ -45,7 +45,7 @@ from .train import (
     default_ds_weights,
 )
 from .utils.config import (Signal1DConfig, load_signal_config,
-                           save_signal_config)
+                           resume_token, save_signal_config)
 
 
 def _build_model_1d(cfg: Signal1DConfig, dtype=None):
@@ -168,6 +168,7 @@ def train_1d(config_path: str = "Signal_Configs.ini",
         monitor=monitor,
         tensorboard_dir=cfg.tensorboard_dir or None,
         exact_resume=cfg.exact_resume,
+        resume_token=resume_token(cfg),
     )
     if cfg.save_history and cfg.save_dir:
         with open(os.path.join(cfg.save_dir, "history.json"), "w") as f:

@@ -203,6 +203,7 @@ class Trainer:
         profile_epoch: int = 1,
         tensorboard_dir: tp.Optional[str] = None,
         exact_resume: bool = False,
+        resume_token: tp.Optional[str] = None,
     ) -> tp.Dict[str, tp.List[float]]:
         """``exact_resume=True`` (requires ``checkpoint``) makes the run
         preemption-safe and exactly resumable: every epoch ends with a
@@ -253,7 +254,21 @@ class Trainer:
             raise ValueError("exact_resume=True requires a checkpoint")
         if exact_resume:
             watch = _PreemptionWatch()
-            if checkpoint.has_full("last"):
+            resumable = checkpoint.has_full("last")
+            if resumable and resume_token is not None:
+                # the fine-tune stage re-runs into the SAME save_dir with
+                # a changed config (new LR, unfrozen encoder — notebook
+                # cells 53-55); resuming ITS epoch counter would silently
+                # skip the whole stage.  The token fingerprints the
+                # training-defining config: mismatch -> fresh stage
+                stored = (checkpoint.read_meta("last") or {}).get("config")
+                if stored != resume_token:
+                    resumable = False
+                    if verbose:
+                        print("Exact resume: existing 'last' checkpoint "
+                              "was saved by a DIFFERENT training config; "
+                              "starting this stage fresh", flush=True)
+            if resumable:
                 # restore AFTER placement so sharded targets (zero1/tp)
                 # restore straight into their shardings
                 self.state, meta = checkpoint.restore_full(self.state,
@@ -283,6 +298,7 @@ class Trainer:
             checkpoint.save_full(self.state, "last", meta={
                 "epoch": next_epoch, "history": self.history,
                 "lr_scale": lr_scale, "stopped": stopped,
+                "config": resume_token,
                 "callbacks": {k: cb.state_dict()
                               for k, cb in named_cbs.items()
                               if cb is not None}})

@@ -352,3 +352,17 @@ def save_test_config(cfg: TestConfig, path: str) -> None:
         for k, v in dc.asdict(cfg).items()}
     with open(path, "w") as f:
         parser.write(f)
+
+
+def resume_token(cfg) -> str:
+    """Fingerprint of the TRAINING-defining config fields, stored in
+    exact-resume checkpoints: re-running the SAME config resumes, while
+    a changed config (the fine-tune stage drops the LR and unfreezes the
+    encoder into the same save_dir, reference notebook cells 53-55)
+    starts its stage fresh instead of silently skipping it as
+    "already-trained epochs".  ``num_epochs`` is excluded — extending a
+    finished run to more epochs is the documented resume pattern."""
+    import hashlib
+    items = sorted((k, v) for k, v in dc.asdict(cfg).items()
+                   if k != "num_epochs")
+    return hashlib.sha256(repr(items).encode()).hexdigest()[:16]
