@@ -479,6 +479,45 @@ def test_finetune_stage_not_swallowed_by_exact_resume(tmp_path):
     assert len(h2[1]["loss"]) == 2, \
         "fine-tune stage was swallowed by stage 1's resume state"
     assert h2[1]["loss"] != h1[1]["loss"]
-    # unchanged stage-2 config re-run: already complete -> 0 new epochs
+    # unchanged stage-2 config re-run: already complete -> history is
+    # restored intact and 0 new epochs train
     h3 = run_train(config=cfg(5e-5, True))
-    assert h3[1].get("loss", h2[1]["loss"]) == h2[1]["loss"]
+    assert "loss" in h3[1]
+    assert h3[1]["loss"] == h2[1]["loss"]
+
+    # innocuous bookkeeping edits must NOT invalidate the resume state
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import \
+        resume_token as _token
+    base = cfg(5e-5, True)
+    edited = cfg(5e-5, True)
+    edited.num_epochs = 50
+    edited.tensorboard_dir = "/tmp/tb"
+    edited.save_history = True
+    edited.start_fold = 3
+    assert _token(base) == _token(edited)
+    changed = cfg(5e-5, True)
+    changed.learning_rate = 1e-3
+    assert _token(base) != _token(changed)
+
+
+def test_tokenless_checkpoint_still_resumes(tmp_path):
+    """Back-compat: a 'last' checkpoint whose meta has no config token
+    (pre-token release) must still resume when the new code passes one —
+    unknown provenance must not discard a long run's progress."""
+    x, y = _data()
+    ckpt = CheckpointManager(str(tmp_path))
+    tr = _trainer()
+    tr.init_state(x)
+    tr.fit(batches(x, y, 4, seed=7), epochs=2, checkpoint=ckpt,
+           monitor="loss", verbose=0, exact_resume=True)
+    # strip the token from the sidecar (simulate the older format)
+    meta = ckpt.read_meta("last")
+    meta.pop("config", None)
+    with open(ckpt._meta_path("last"), "w") as f:
+        json.dump(meta, f)
+    tr2 = _trainer()
+    tr2.init_state(x)
+    h = tr2.fit(batches(x, y, 4, seed=7), epochs=4, checkpoint=ckpt,
+                monitor="loss", verbose=0, exact_resume=True,
+                resume_token="brand-new-token")
+    assert len(h["loss"]) == 4  # resumed the 2 old epochs + trained 2

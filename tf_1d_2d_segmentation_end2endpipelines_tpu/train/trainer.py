@@ -254,20 +254,26 @@ class Trainer:
             raise ValueError("exact_resume=True requires a checkpoint")
         if exact_resume:
             watch = _PreemptionWatch()
-            resumable = checkpoint.has_full("last")
+            last_meta = checkpoint.read_meta("last")
+            resumable = bool(last_meta and last_meta.get("full")) and \
+                checkpoint.has_full("last")
             if resumable and resume_token is not None:
                 # the fine-tune stage re-runs into the SAME save_dir with
                 # a changed config (new LR, unfrozen encoder — notebook
                 # cells 53-55); resuming ITS epoch counter would silently
                 # skip the whole stage.  The token fingerprints the
-                # training-defining config: mismatch -> fresh stage
-                stored = (checkpoint.read_meta("last") or {}).get("config")
-                if stored != resume_token:
+                # training-defining config: mismatch -> fresh stage.
+                # A TOKENLESS meta (pre-token checkpoint) stays
+                # resumable — unknown provenance must not discard a
+                # long run's progress on upgrade
+                stored = last_meta.get("config")
+                if stored is not None and stored != resume_token:
                     resumable = False
-                    if verbose:
-                        print("Exact resume: existing 'last' checkpoint "
-                              "was saved by a DIFFERENT training config; "
-                              "starting this stage fresh", flush=True)
+                    # abandoning resumable state is destructive: always
+                    # say so, independent of verbosity
+                    print("Exact resume: existing 'last' checkpoint "
+                          "was saved by a DIFFERENT training config; "
+                          "starting this stage fresh", flush=True)
             if resumable:
                 # restore AFTER placement so sharded targets (zero1/tp)
                 # restore straight into their shardings

@@ -354,15 +354,30 @@ def save_test_config(cfg: TestConfig, path: str) -> None:
         parser.write(f)
 
 
+#: fields that do NOT define the training trajectory: bookkeeping,
+#: output locations, fold/epoch selection, restore directives, and
+#: test-only keys.  Editing any of these between a preemption and the
+#: relaunch must not invalidate the resume state.
+_RESUME_TOKEN_EXCLUDE = frozenset({
+    "num_epochs",          # extending a run is the documented pattern
+    "start_fold", "end_fold",  # fold selection; ckpts are per-fold
+    "save_dir", "save_history", "tensorboard_dir", "task_name",
+    "load_weights",        # a restore directive, not a trajectory input
+    "test_set", "tta", "threshold",  # test-time only
+})
+
+
 def resume_token(cfg) -> str:
     """Fingerprint of the TRAINING-defining config fields, stored in
     exact-resume checkpoints: re-running the SAME config resumes, while
     a changed config (the fine-tune stage drops the LR and unfreezes the
     encoder into the same save_dir, reference notebook cells 53-55)
     starts its stage fresh instead of silently skipping it as
-    "already-trained epochs".  ``num_epochs`` is excluded — extending a
-    finished run to more epochs is the documented resume pattern."""
+    "already-trained epochs".  Bookkeeping/output/test-only fields are
+    excluded (``_RESUME_TOKEN_EXCLUDE``) so innocuous edits — more
+    epochs, a TensorBoard dir, a different fold range — never discard
+    training progress."""
     import hashlib
     items = sorted((k, v) for k, v in dc.asdict(cfg).items()
-                   if k != "num_epochs")
+                   if k not in _RESUME_TOKEN_EXCLUDE)
     return hashlib.sha256(repr(items).encode()).hexdigest()[:16]
