@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.blocks import relu
+
 Dtype = tp.Any
 
 
@@ -49,7 +51,7 @@ class ResNetBackbone(nn.Module):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         h = _bn(h, train, self.dtype)
-        h = nn.relu(h)
+        h = relu(h)
         taps.append(h)  # stride 2 ('conv1_relu')
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -64,12 +66,12 @@ class ResNetBackbone(nn.Module):
                     shortcut = _conv(h, feats * 4, 1, stride, self.dtype)
                     shortcut = _bn(shortcut, train, self.dtype)
                 y = _conv(h, feats, 1, stride, self.dtype)
-                y = nn.relu(_bn(y, train, self.dtype))
+                y = relu(_bn(y, train, self.dtype))
                 y = _conv(y, feats, 3, 1, self.dtype)
-                y = nn.relu(_bn(y, train, self.dtype))
+                y = relu(_bn(y, train, self.dtype))
                 y = _conv(y, feats * 4, 1, 1, self.dtype)
                 y = _bn(y, train, self.dtype)
-                h = nn.relu(y + shortcut)
+                h = relu(y + shortcut)
             taps.append(h)  # strides 4, 8, 16, 32
             feats *= 2
         return taps
@@ -104,7 +106,7 @@ class ResNetV2Backbone(nn.Module):
             for b in range(n_blocks):
                 stride = 2 if (stage < len(self.blocks) - 1
                                and b == n_blocks - 1) else 1
-                preact = nn.relu(_bn(h, train, self.dtype))
+                preact = relu(_bn(h, train, self.dtype))
                 if b == 0:
                     shortcut = _conv(preact, feats * 4, 1, 1, self.dtype)
                 elif stride > 1:
@@ -113,13 +115,13 @@ class ResNetV2Backbone(nn.Module):
                 else:
                     shortcut = h
                 y = _conv(preact, feats, 1, 1, self.dtype, use_bias=False)
-                y1 = nn.relu(_bn(y, train, self.dtype))
+                y1 = relu(_bn(y, train, self.dtype))
                 # keras v2 pads (1,1) + VALID for the 3x3 (differs from
                 # SAME's (0,1) alignment when stride == 2)
                 y = nn.Conv(feats, (3, 3), strides=(stride, stride),
                             padding=[(1, 1), (1, 1)], use_bias=False,
                             dtype=self.dtype, param_dtype=jnp.float32)(y1)
-                y = nn.relu(_bn(y, train, self.dtype))
+                y = relu(_bn(y, train, self.dtype))
                 y = _conv(y, feats * 4, 1, 1, self.dtype)
                 h = y + shortcut
                 stage_pair = (y1, preact)
@@ -129,7 +131,7 @@ class ResNetV2Backbone(nn.Module):
             taps.append(jnp.concatenate([y1, preact], axis=-1))
             feats *= 2
         # final post_relu at stride 32
-        taps.append(nn.relu(_bn(h, train, self.dtype)))
+        taps.append(relu(_bn(h, train, self.dtype)))
         # taps: [in, s2, s4, s8, s16, s32-from-last-stage, post_relu(s32)]
         # keep reference shape: 6 taps with [5] = post_relu
         return taps[:5] + [taps[6]]
@@ -150,7 +152,7 @@ class VGGBackbone(nn.Module):
         h = x
         for stage, (n, w) in enumerate(zip(self.convs, widths)):
             for _ in range(n):
-                h = nn.relu(_conv(h, w, 3, 1, self.dtype))
+                h = relu(_conv(h, w, 3, 1, self.dtype))
             if stage >= 1:
                 taps.append(h)  # last conv of blocks 2..5
             h = _maxpool(h, 2, 2)
@@ -175,7 +177,7 @@ class DenseNetBackbone(nn.Module):
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
-        h = nn.relu(_bn(h, train, self.dtype))
+        h = relu(_bn(h, train, self.dtype))
         taps.append(h)  # conv1/relu, stride 2
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
@@ -183,16 +185,16 @@ class DenseNetBackbone(nn.Module):
                                   (1, 2, 2, 1), "VALID")
         for stage, n_layers in enumerate(self.blocks):
             for _ in range(n_layers):
-                y = nn.relu(_bn(h, train, self.dtype))
+                y = relu(_bn(h, train, self.dtype))
                 y = _conv(y, 4 * self.growth, 1, 1, self.dtype,
                           use_bias=False)
-                y = nn.relu(_bn(y, train, self.dtype))
+                y = relu(_bn(y, train, self.dtype))
                 y = _conv(y, self.growth, 3, 1, self.dtype, use_bias=False)
                 h = jnp.concatenate([h, y], axis=-1)
             if stage < len(self.blocks) - 1:
                 # transition: BN relu (tap: the reference's poolN_relu is
                 # BEFORE the 1x1 conv) then conv + avgpool
-                y = nn.relu(_bn(h, train, self.dtype))
+                y = relu(_bn(h, train, self.dtype))
                 taps.append(y)  # poolN_relu
                 y = _conv(y, h.shape[-1] // 2, 1, 1, self.dtype,
                           use_bias=False)
@@ -200,7 +202,7 @@ class DenseNetBackbone(nn.Module):
                     y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
                     "VALID") / 4.0
             else:
-                taps.append(nn.relu(_bn(h, train, self.dtype)))  # 'relu'
+                taps.append(relu(_bn(h, train, self.dtype)))  # 'relu'
         # taps: [in, s2, s4, s8, s16, s32]: transition taps are pre-pool
         return taps
 
@@ -331,7 +333,7 @@ class MobileNetV3Backbone(nn.Module):
     def _se(self, h, expand):
         filters = self._depth(expand * 0.25)
         s = jnp.mean(h, axis=(1, 2), keepdims=True)
-        s = nn.relu(_conv(s, filters, 1, 1, self.dtype, use_bias=True))
+        s = relu(_conv(s, filters, 1, 1, self.dtype, use_bias=True))
         s = _conv(s, expand, 1, 1, self.dtype, use_bias=True)
         return h * self._hsig(s)
 
@@ -356,8 +358,7 @@ class MobileNetV3Backbone(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
-        relu = nn.relu
-        hs = _hswish
+        hs = _hswish  # `relu` = output-residual ReLU from ops.blocks
         # (kernel, expand, project, se, activation, stride) per keras config
         if self.size == "large":
             cfg = [(3, 16, 16, False, relu, 1), (3, 64, 24, False, relu, 2),

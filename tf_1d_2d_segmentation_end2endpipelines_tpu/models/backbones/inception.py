@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.blocks import relu
+
 Dtype = tp.Any
 
 
@@ -29,7 +31,7 @@ def _cba(x, feats, k, s, train, dtype, padding="SAME"):
         k = (k, k)
     x = nn.Conv(feats, k, strides=(s, s), padding=padding, use_bias=False,
                 dtype=dtype, param_dtype=jnp.float32)(x)
-    return nn.relu(_bn(x, train, dtype))
+    return relu(_bn(x, train, dtype))
 
 
 def _maxpool(x, k=3, s=2, padding="SAME"):
@@ -146,7 +148,7 @@ class InceptionResNetV2Backbone(nn.Module):
         mix = jnp.concatenate([b1, b2, b3], -1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=d,
                      param_dtype=jnp.float32)(mix)
-        return nn.relu(x + scale * up)
+        return relu(x + scale * up)
 
     def _block17(self, x, train, scale=0.1):
         d = self.dtype
@@ -156,7 +158,7 @@ class InceptionResNetV2Backbone(nn.Module):
         mix = jnp.concatenate([b1, b2], -1)
         up = nn.Conv(x.shape[-1], (1, 1), dtype=d,
                      param_dtype=jnp.float32)(mix)
-        return nn.relu(x + scale * up)
+        return relu(x + scale * up)
 
     def _block8(self, x, train, scale=0.2, activate=True):
         d = self.dtype
@@ -167,7 +169,7 @@ class InceptionResNetV2Backbone(nn.Module):
         up = nn.Conv(x.shape[-1], (1, 1), dtype=d,
                      param_dtype=jnp.float32)(mix)
         out = x + scale * up
-        return nn.relu(out) if activate else out
+        return relu(out) if activate else out
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False

@@ -27,6 +27,7 @@ from ..ops import (
     TransConv,
     concat,
     downsample_pool,
+    relu,
     upsample,
 )
 
@@ -54,7 +55,7 @@ class InceptionResBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
-        return nn.relu(out)
+        return relu(out)
 
 
 class DenseInceptionBlock(nn.Module):
@@ -89,7 +90,7 @@ class DownsamplingBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
-        return nn.relu(out)
+        return relu(out)
 
 
 class UpsamplingBlock(nn.Module):
@@ -116,7 +117,7 @@ class UpsamplingBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
-        return nn.relu(out)
+        return relu(out)
 
 
 class DenseInceptionUNetModel(nn.Module):

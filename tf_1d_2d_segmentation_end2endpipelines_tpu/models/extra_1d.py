@@ -31,6 +31,7 @@ from ..ops import (
     TransConv,
     concat,
     downsample_pool,
+    relu,
     upsample,
 )
 from .decoders import ChainDecoder, GridDecoder
@@ -161,11 +162,11 @@ class _ResidualGroup(nn.Module):
                 h = ConvBlock(f, 1, dtype=self.dtype)(x, train)
                 h = ConvBlock(f, 3, dtype=self.dtype)(h, train)
                 h = ConvBlock(f * 4, 1, dtype=self.dtype)(h, train)
-                x = nn.relu(h + shortcut)
+                x = relu(h + shortcut)
             else:
                 h = ConvBlock(f, 3, dtype=self.dtype)(x, train)
                 h = ConvBlock(f, 3, dtype=self.dtype)(h, train)
-                x = nn.relu(h + x)
+                x = relu(h + x)
         if self.connector:
             # intended behavior: one stride-2 conv into the next group
             x = ConvBlock(f * 2, 3, strides=2, dtype=self.dtype)(x, train)

@@ -28,6 +28,7 @@ from ..ops import (
     TransConv,
     concat,
     downsample_pool,
+    relu,
     upsample,
 )
 
@@ -50,7 +51,7 @@ class ConvBlockRegulated(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(x)
-        return nn.relu(x)
+        return relu(x)
 
 
 class MultiResBlockRegulated(nn.Module):
@@ -78,7 +79,7 @@ class MultiResBlockRegulated(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
-        out = nn.relu(shortcut + out)
+        out = relu(shortcut + out)
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
                             epsilon=1e-3, dtype=self.dtype,
                             param_dtype=jnp.float32)(out)

@@ -27,6 +27,7 @@ from ..ops import (
     TransConv,
     concat,
     downsample_pool,
+    relu,
     upsample,
 )
 
@@ -104,7 +105,7 @@ class AttentionLSTMGate(nn.Module):
         c = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(c)
-        c = nn.sigmoid(nn.relu(c))
+        c = nn.sigmoid(relu(c))
         r = upsample(c, 2, method="nearest") + TransConv(
             1, kernel=2, use_bn=True, activation="relu",
             dtype=self.dtype)(c, train)
@@ -237,7 +238,7 @@ class SEDUNet(_Special1DBase):
                                   momentum=0.99, epsilon=1e-3,
                                   dtype=self.dtype,
                                   param_dtype=jnp.float32)(deconv)
-            deconv = nn.relu(deconv)
+            deconv = relu(deconv)
             if self.lstm == 1:
                 deconv = ConvLSTMFusion(max(int(W * 2 ** (D - j - 2)), 1),
                                         dtype=self.dtype)(skip, deconv)

@@ -46,11 +46,78 @@ def _tup(v, n: int) -> tuple:
     return (v,) * n
 
 
+# --- Output-residual (Leaky)ReLU -----------------------------------------
+# The default jax.nn rules save the PRE-activation input as the autodiff
+# residual (grad reads sign(x)).  But both activations preserve sign, so the
+# backward mask is recomputable from the OUTPUT — which the next layer saves
+# as its own input anyway, letting XLA CSE the two and drop one full
+# activation tensor per conv block from the forward save-set / backward
+# read-set.  Gradients are bit-identical to jax.nn.relu / jax.nn.leaky_relu
+# (incl. the x == ±0 conventions); the single exception is leaky_relu on
+# negative inputs where slope*x underflows to -0.0 — XLA flushes subnormals
+# to zero, so that is |x| < min_normal/slope ≈ 3.9e-38 for f32/bf16 (same
+# 8-bit exponent) — and the mask then reads >= 0.  A measure-zero set on
+# real activations (tests/test_act_vjp.py pins the boundary).  Escape
+# hatch: TPUSEG_ACT_VJP=input restores the stock rules.
+#
+# MEASURED WIN (round 3, real-TPU A/B, flagship UNet++ 256² bf16 b128
+# plain): 249.6 -> 240.8 ms/step (512.8 -> 531.6 img/s, +3.7%);
+# compare_select_fusion 18.1 -> 8.4 ms — the ReLU backward chains stop
+# re-reading the saved pre-activations.  Default ON.
+
+
+@jax.custom_vjp
+def relu_outres(x: jax.Array) -> jax.Array:
+    return jnp.maximum(x, 0)
+
+
+def _relu_outres_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_outres_bwd(y, g):
+    # jax.nn.relu's custom JVP: lax.select(x > 0, g, 0); y > 0 ⟺ x > 0.
+    return (jnp.where(y > 0, g, jnp.zeros_like(g)),)
+
+
+relu_outres.defvjp(_relu_outres_fwd, _relu_outres_bwd)
+
+
+@jax.custom_vjp
+def leaky_relu_outres(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, x, LEAKY_SLOPE * x).astype(x.dtype)
+
+
+def _leaky_outres_fwd(x):
+    y = jnp.where(x >= 0, x, LEAKY_SLOPE * x).astype(x.dtype)
+    return y, y
+
+
+def _leaky_outres_bwd(y, g):
+    # jax.nn.leaky_relu grad: where(x >= 0, g, slope*g).  y >= 0 ⟺ x >= 0
+    # (±0 included: x = -0.0 gives y = -0.0 and -0.0 >= 0 is True in both).
+    slope = jnp.asarray(LEAKY_SLOPE, g.dtype)
+    return (jnp.where(y >= 0, g, slope * g),)
+
+
+leaky_relu_outres.defvjp(_leaky_outres_fwd, _leaky_outres_bwd)
+
+_OUTPUT_RESIDUAL_ACTS = os.environ.get("TPUSEG_ACT_VJP", "output") != "input"
+
+
+def relu(x: jax.Array) -> jax.Array:
+    """ReLU through the output-residual VJP (TPUSEG_ACT_VJP aware)."""
+    return relu_outres(x) if _OUTPUT_RESIDUAL_ACTS else nn.relu(x)
+
+
 def get_activation(name: tp.Optional[str]) -> tp.Optional[tp.Callable]:
     """Activation registry covering every name the reference uses."""
     if name is None:
         return None
     key = name.lower()
+    if _OUTPUT_RESIDUAL_ACTS and key in ("relu", "leakyrelu", "leaky_relu"):
+        return relu_outres if key == "relu" else leaky_relu_outres
     table = {
         "relu": nn.relu,
         "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=LEAKY_SLOPE),
@@ -330,7 +397,7 @@ class AttentionGate(nn.Module):
         b = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
                          param_dtype=jnp.float32)(b)
-        c = nn.relu(a + b)
+        c = relu(a + b)
         c = nn.Conv(1, _tup(1, n), dtype=self.dtype, param_dtype=jnp.float32)(c)
         c = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype,
@@ -382,7 +449,7 @@ class MultiResBlock(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
-        out = nn.relu(shortcut + out)
+        out = relu(shortcut + out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
                            param_dtype=jnp.float32)(out)
@@ -405,7 +472,7 @@ class ResPath(nn.Module):
         for _ in range(max(self.length, 1)):
             shortcut = ConvBlock(self.model_width, 1, dtype=self.dtype)(out, train)
             main = ConvBlock(self.model_width, self.kernel, dtype=self.dtype)(out, train)
-            out = nn.relu(shortcut + main)
+            out = relu(shortcut + main)
             out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                epsilon=1e-3, dtype=self.dtype,
                                param_dtype=jnp.float32)(out)
@@ -427,7 +494,7 @@ class SqueezeExcite(nn.Module):
         s = jnp.mean(x, axis=spatial_axes)
         s = nn.Dense(max(c // self.ratio, 1), dtype=self.dtype,
                      param_dtype=jnp.float32)(s)
-        s = nn.relu(s)
+        s = relu(s)
         s = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(s)
         s = nn.sigmoid(s)
         s = s.reshape((x.shape[0],) + (1,) * len(spatial_axes) + (c,))
