@@ -828,6 +828,26 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     sub.add_parser("doctor", help="environment diagnostics: versions, "
                    "devices, native fast-path status, optional deps, "
                    "compile smoke")
+    p_tun = sub.add_parser(
+        "tune", help="on-device batch-size/remat autotuner: sweep the "
+        "shipped train step at aligned batches on synthetic data at the "
+        "config's shapes (plain first, remat='dots' only to unlock "
+        "batches whose plain step fails — the measured rule, "
+        "docs/SCALING.md); --write puts the winner back into the INI. "
+        "Works on [TRAIN] and [SIGNAL1D] configs")
+    p_tun.add_argument("config", nargs="?", default="Train_Configs.ini")
+    p_tun.add_argument("--batches", default="",
+                       help="comma list (default: 32,64,96,128 for 2D / "
+                       "128,256,512,1024 for 1D)")
+    p_tun.add_argument("--modes", default="",
+                       help="force modes (comma list of plain,dots,full) "
+                       "for every batch instead of the heuristic")
+    p_tun.add_argument("--steps", type=int, default=20,
+                       help="timed steady-state steps per candidate")
+    p_tun.add_argument("--warmup", type=int, default=3)
+    p_tun.add_argument("--write", action="store_true",
+                       help="write the winning batch_size/remat back "
+                       "into the config INI")
     args = parser.parse_args(argv)
     # production launch plumbing (both opt-in via env, utils/multihost.py):
     # TPUSEG_MULTIHOST=1 -> jax.distributed.initialize() for pod runs;
@@ -902,6 +922,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         print(f"wrote {args.folds} folds under {args.out}/", flush=True)
     elif args.cmd == "doctor":
         doctor()
+    elif args.cmd == "tune":
+        from .tune import tune_main
+        tune_main(args)
     else:
         test(args.config)
 

@@ -134,6 +134,8 @@ def train_1d(config_path: str = "Signal_Configs.ini",
                       if cfg.d_s == 1 else None),
         mesh=mesh,
         seed=cfg.seed,
+        remat=cfg.remat or None,
+        accum_steps=cfg.accumulation_steps,
         ema_decay=cfg.ema_decay,
         zero1=cfg.zero1,
         clipnorm=cfg.clipnorm,

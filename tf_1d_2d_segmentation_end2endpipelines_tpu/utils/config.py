@@ -259,6 +259,9 @@ class Signal1DConfig:
     save_dir: str = "Results_1D"
     seed: int = 1
     compute_dtype: str = "float32"
+    remat: str = ""          # '', 'dots', 'full' (see TrainConfig.remat)
+    accumulation_steps: int = 1  # microbatch split of batch_size
+    # (batch_size stays the TOTAL effective batch; see TrainConfig)
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
     spatial_parallel: int = 1  # mesh 'spatial' axis: shard the signal's
     # L axis over devices — sequence parallelism for signals too long for
