@@ -16,6 +16,7 @@ TPU-first notes
 """
 from __future__ import annotations
 
+import functools
 import os
 import typing as tp
 
@@ -181,6 +182,101 @@ class ConvBlock(nn.Module):
         return apply_activation(x, self.activation)
 
 
+# --- Explicit-gradient transposed conv ------------------------------------
+# ``lax.conv_transpose(transpose_kernel=True)`` IS the linear transpose of a
+# plain strided conv F with the same kernel — that is its definition (it
+# reproduces Keras Conv*DTranspose).  Autodiff of the stock lowering (an
+# input-dilated conv of a flipped kernel) leaves ~10 ms/step of `reverse`
+# fusions in the flagship backward pass (round-2/3 profiles).  The transpose
+# identity gives both gradients directly in the forms XLA lowers best:
+#   grad_x      = F(g)  — a PLAIN strided conv: no input dilation, no flips
+#   grad_kernel = the standard conv weight-grad pattern, identical to every
+#                 forward Conv's (jax's own rhs-transpose of F)
+# Same linear maps, different op forms.  Selected by TPUSEG_TRANSCONV_VJP
+# (see ``TransConv``); measured on the real chip before any default flip.
+
+
+def _convt_dn(n: int) -> tp.Tuple[str, str, str]:
+    """Channels-last conv dimension-number strings for n spatial dims."""
+    sp = "DHW"[3 - n:]
+    return ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_transpose_eg(x, kernel, strides, dn):
+    return jax.lax.conv_transpose(x, kernel, strides, "SAME",
+                                  transpose_kernel=True,
+                                  dimension_numbers=dn)
+
+
+def _conv_transpose_eg_fwd(x, kernel, strides, dn):
+    return _conv_transpose_eg(x, kernel, strides, dn), (x, kernel)
+
+
+def _conv_transpose_eg_bwd(strides, dn, res, g):
+    x, kernel = res
+
+    def plain(k):
+        # F: the forward strided conv this op is the transpose of.  The
+        # stored (k..., C_out, C_in) kernel reads as HWIO with I=C_out,
+        # O=C_in, so it is used as-is — no flip, no channel swap.
+        return jax.lax.conv_general_dilated(
+            g, k, window_strides=strides, padding="SAME",
+            dimension_numbers=dn)
+
+    grad_x, pull = jax.vjp(plain, kernel)  # primal of F(g) IS grad_x
+    (grad_k,) = pull(x)
+    return grad_x, grad_k
+
+
+_conv_transpose_eg.defvjp(_conv_transpose_eg_fwd, _conv_transpose_eg_bwd)
+
+
+class _ExplicitGradConvTranspose(nn.ConvTranspose):
+    """``nn.ConvTranspose`` routed through the explicit-gradient VJP.
+
+    Parameter names/shapes/init are identical to the parent (checkpoint-
+    and converter-compatible; ``isinstance(mod, nn.ConvTranspose)`` in
+    utils/keras_compat.py still matches).  Supports exactly the
+    configuration ``TransConv`` uses: channels-last single-batch-dim
+    input, 'SAME' padding, ``transpose_kernel=True``, no kernel
+    dilation, no mask.
+    """
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        kernel_size = ((self.kernel_size,)
+                       if isinstance(self.kernel_size, int)
+                       else tuple(self.kernel_size))
+        n = len(kernel_size)
+        if not (self.padding == "SAME" and self.transpose_kernel
+                and self.mask is None and inputs.ndim == n + 2):
+            raise NotImplementedError(
+                "explicit-gradient transposed conv supports TransConv's "
+                "configuration only (SAME / transpose_kernel / no mask)")
+        strides = self.strides or 1
+        strides = ((strides,) * n if isinstance(strides, int)
+                   else tuple(strides))
+        in_features = inputs.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            kernel_size + (self.features, in_features),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        inputs, kernel, bias = self.promote_dtype(inputs, kernel, bias,
+                                                  dtype=self.dtype)
+        y = _conv_transpose_eg(inputs, kernel, strides, _convt_dn(n))
+        if bias is not None:
+            y = y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
+
+
+#: 'explicit' routes TransConv through the explicit-gradient VJP;
+#: anything else keeps jax's stock conv_transpose autodiff.
+_TRANSCONV_EXPLICIT = (
+    os.environ.get("TPUSEG_TRANSCONV_VJP", "auto") == "explicit")
+
+
 class TransConv(nn.Module):
     """Transposed-conv upsample block (stride-2, 4-wide kernel).
 
@@ -198,7 +294,9 @@ class TransConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         n = _spatial_ndim(x)
-        x = nn.ConvTranspose(
+        cls = (_ExplicitGradConvTranspose if _TRANSCONV_EXPLICIT
+               else nn.ConvTranspose)
+        x = cls(
             self.features,
             kernel_size=_tup(self.kernel, n),
             strides=_tup(self.strides, n),
@@ -206,6 +304,9 @@ class TransConv(nn.Module):
             transpose_kernel=True,  # Keras Conv*DTranspose semantics/layout
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            # pin the child name so the param tree (checkpoints, the Keras
+            # converter) is identical under either implementation
+            name="ConvTranspose_0",
         )(x)
         if self.use_bn:
             x = nn.BatchNorm(
