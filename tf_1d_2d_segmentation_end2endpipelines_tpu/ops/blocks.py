@@ -271,10 +271,13 @@ class _ExplicitGradConvTranspose(nn.ConvTranspose):
         return y
 
 
-#: 'explicit' routes TransConv through the explicit-gradient VJP;
-#: anything else keeps jax's stock conv_transpose autodiff.
+#: Default ON: measured on the real chip (b128 256² bf16 UNet++ plain
+#: step) 241.85 -> 236.79 ms/step (529.3 -> 540.6 img/s/chip) — the
+#: backward `reverse` fusions drop out.  Gradients equal jax's stock
+#: autodiff to 1e-5 (tests/test_transconv_vjp.py).
+#: TPUSEG_TRANSCONV_VJP=stock restores jax's conv_transpose autodiff.
 _TRANSCONV_EXPLICIT = (
-    os.environ.get("TPUSEG_TRANSCONV_VJP", "auto") == "explicit")
+    os.environ.get("TPUSEG_TRANSCONV_VJP", "explicit") != "stock")
 
 
 class TransConv(nn.Module):
