@@ -26,6 +26,13 @@ import numpy as np
 
 def main() -> None:
     t_start = time.perf_counter()
+
+    def _mark(label: str) -> None:
+        if os.environ.get("TPUSEG_BENCH_DEBUG"):
+            import sys
+            print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {label}",
+                  file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -76,11 +83,13 @@ def main() -> None:
                                    get_loss("BCEDiceLoss"), remat=remat),
                    donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})
+    _mark("setup done")
 
     # warmup / compile (host fetches fence remote execution, see module doc)
     for _ in range(3):
         state, loss, _ = step(state, b["x"], b["y"], ())
     float(loss)
+    _mark("warmup done")
 
     iters = 30 if on_tpu else 3
     t0 = time.perf_counter()
@@ -91,6 +100,32 @@ def main() -> None:
 
     n_chips = len(jax.devices())
     ips = batch * iters / dt / n_chips
+    _mark("throughput done")
+
+    # MFU: analytic train-step FLOPs (XLA cost analysis of the already-
+    # compiled executable — cache hit, no extra device work) divided by
+    # measured step time and chip peak bf16 FLOPs.
+    mfu = None
+    if on_tpu:
+        try:
+            cost = step.lower(state, b["x"], b["y"], ()).compile(
+                ).cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            kind = jax.devices()[0].device_kind.lower()
+            peaks = {"v2": 45e12, "v3": 123e12, "v4": 275e12,
+                     "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+                     "v6 lite": 918e12, "v6e": 918e12}
+            peak = next((v for k, v in sorted(peaks.items(),
+                                              key=lambda kv: -len(kv[0]))
+                         if k in kind), None)
+            if flops > 0 and peak:
+                mfu = flops / (dt / iters) / (peak * n_chips)
+        except Exception:
+            pass
+
+    _mark("mfu done")
 
     # ---- p50 single-image inference latency (BASELINE.json metric b) ----
     params, bs = state.params, state.batch_stats
@@ -110,6 +145,7 @@ def main() -> None:
         float(infer(xi).sum())  # fetch = fence (incl. tunnel round-trip)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat)) * 1e3
+    _mark("p50 done")
     # tunnel round-trip + device-side forward time via the shared
     # fencing helpers (utils/bench_timing.py).  The chained measurement
     # costs one extra remote compile — skipped when the uncached-compile
@@ -118,11 +154,14 @@ def main() -> None:
         chained_device_time, measure_rtt)
     rtt_s = measure_rtt(30 if on_tpu else 5)
     rtt_ms = rtt_s * 1e3
-    fwd_ms = None
-    if time.perf_counter() - t_start < 360:
-        fwd_ms = chained_device_time(
-            fwd, xi, K=20 if on_tpu else 2,
-            reps=10 if on_tpu else 2, rtt_s=rtt_s) * 1e3
+    _mark("rtt done")
+    # always measured (r3 regression: a time-budget gate silently dropped
+    # the field); when the uncached-compile path ate the budget, shrink
+    # the sample count instead of skipping
+    tight = time.perf_counter() - t_start >= 360
+    K, reps = ((8, 4) if tight else (20, 10)) if on_tpu else (2, 2)
+    fwd_ms = chained_device_time(fwd, xi, K=K, reps=reps, rtt_s=rtt_s) * 1e3
+    _mark("fwd chained done")
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -144,9 +183,10 @@ def main() -> None:
         "vs_baseline": round(vs, 3),
         "p50_infer_ms": round(p50_ms, 2),
         "tunnel_roundtrip_ms": round(rtt_ms, 2),
+        "p50_device_fwd_ms": round(fwd_ms, 3),
     }
-    if fwd_ms is not None:
-        out["p50_device_fwd_ms"] = round(fwd_ms, 3)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
     # north-star ratio vs the measured Keras-on-TPU denominator (the
     # reference's own UNet++ run via Keras-3 jax backend on this chip,
     # benchmarks/keras_denominator.py)

@@ -1,0 +1,128 @@
+"""End-to-end pretrained-encoder COMPOSITION parity vs the Keras reference.
+
+Round-4 verdict item #1: backbone taps were parity-tested in isolation
+(tests/test_backbone_weights.py) and scratch-encoder models end-to-end, but
+``SegModel(train_mode='pretrained_encoder')`` -- the full chain
+taps -> per-family level projections (unet_variants.py:795-933) ->
+depth-dependent bottleneck pick (:1076-1087) -> latent (:966-974) ->
+decoder -> head -- had only a structure test.  These fixtures build the
+reference's FULL pretrained models (weights=None: zero-egress stand-in for
+the 'imagenet' download; the conversion copies whatever values Keras
+initialized) and require <1e-4 on the final output.
+
+Depth 3 AND depth 5 are both covered per (backbone, decoder): the
+bottleneck source SWITCHES at depth 5 from the level-(D+1) projection to
+the backbone's raw stride-32 tap (unet_variants.py:1076-1087), and for
+depth<5 Keras prunes the encoder stages/projections unreachable from the
+outputs -- the truncated-backbone (max_tap) path.
+"""
+import numpy as np
+import pytest
+
+from test_parity_keras import (_compare, _compare_all_heads,  # noqa
+                               ref_modules)
+
+tf = pytest.importorskip("tensorflow")
+
+
+@pytest.fixture()
+def no_imagenet(monkeypatch):
+    """Force weights=None in the keras.applications ctors the reference
+    hardcodes with weights='imagenet' (unet_variants.py:1057,1520,2361)."""
+    for mod_name, fn_name in [("resnet", "ResNet50"), ("vgg16", "VGG16"),
+                              ("efficientnet", "EfficientNetB0")]:
+        mod = getattr(tf.keras.applications, mod_name)
+        orig = getattr(mod, fn_name)
+
+        def patched(*a, __orig=orig, **k):
+            k["weights"] = None
+            return __orig(*a, **k)
+
+        monkeypatch.setattr(mod, fn_name, patched)
+
+
+def _rec():
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.keras_compat import (
+        KerasCreationRecorder)
+    return KerasCreationRecorder()
+
+
+def _run_case(ref_modules, backbone, decoder, depth, ds=0, width=4,
+              tol=1e-4):
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    if decoder.startswith("MultiRes"):
+        # MultiResBlock widths go through int(W * scale) with scale down to
+        # 0.167 (unet_variants.py:85-100): W=4 yields a 0-filter conv that
+        # the reference itself rejects -- W=8 is its minimum working width
+        width = max(width, 8)
+    size = 64 if depth == 5 else 32  # stride-32 tap needs >= 2px at depth 5
+    builder = ref_modules["2d"].unet_model_builder(
+        decoder, size, size, width, depth, num_channels=3, output_nums=1,
+        ds=ds, dense_loop=1, train_mode="pretrained_encoder")
+    with _rec() as rec:
+        kmodel = getattr(builder, backbone)()
+    fmodel = SegModel(decoder_name=decoder, model_width=width,
+                      model_depth=depth, ds=ds, dense_loop=1,
+                      train_mode="pretrained_encoder", backbone=backbone)
+    rng = np.random.default_rng(hash((backbone, decoder, depth)) % 2**31)
+    if backbone.startswith("EfficientNet"):
+        # EfficientNet embeds Rescaling+Normalization: feed 0..255 inputs
+        x = rng.uniform(0, 255, (1, size, size, 3)).astype(np.float32)
+    else:
+        x = rng.normal(size=(1, size, size, 3)).astype(np.float32)
+    if ds:
+        _compare_all_heads(kmodel, fmodel, x, tol=tol,
+                           creation_order=rec.order)
+    else:
+        _compare(kmodel, fmodel, x, tol=tol, creation_order=rec.order)
+
+
+CASES = [(bb, dec, d)
+         for bb in ("VGG16", "ResNet50", "EfficientNetB0")
+         for dec in ("UNet", "UNetPP", "MultiResUNet")
+         for d in (3, 5)]
+
+
+@pytest.mark.parametrize("backbone,decoder,depth", CASES,
+                         ids=[f"{b}-{dec}-d{d}" for b, dec, d in CASES])
+def test_pretrained_composition_parity(ref_modules, no_imagenet, backbone,
+                                       decoder, depth):
+    _run_case(ref_modules, backbone, decoder, depth)
+
+
+def test_pretrained_ds_all_heads(ref_modules, no_imagenet):
+    """Deep supervision through the pretrained encoder: every level head
+    must match (the levels tap decoder nodes fed by the projected
+    encoder taps)."""
+    _run_case(ref_modules, "ResNet50", "UNetPP", 3, ds=1)
+
+
+def test_pretrained_fpn_reference_crashes(ref_modules, no_imagenet):
+    """The reference's pretrained FPN path cannot build: the call sites
+    (fpn_variants.py:318-330) pass 7 positional args to
+    ``encoder_block_pretrained`` (fpn_variants.py:218) which takes 6 --
+    TypeError on every backbone.  Committed as the documented-crash
+    demonstration (AlbuNet convention).  The framework implements the
+    documented intent: a per-level 1x1 Conv_Block(bn=False, ReLU)
+    projection (fpn_variants.py:218-226) feeding the FPN decoder with no
+    latent layer (fpn_variants.py:351-360)."""
+    import importlib
+    import sys
+    sys.path.insert(0, "/root/reference/TensorFlow/2DCNN")
+    fpn = importlib.import_module("models.fpn_variants")
+    builder = fpn.fpn_model_builder(
+        "FPN", 64, 64, 4, 3, num_channels=3, output_nums=1,
+        train_mode="pretrained_encoder")
+    with pytest.raises(TypeError):
+        builder.ResNet50()
+    # the framework builds and runs the documented intent
+    import jax
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    fmodel = SegModel(decoder_name="FPN", genre="FPN", model_width=4,
+                      model_depth=3, train_mode="pretrained_encoder",
+                      backbone="ResNet50")
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = fmodel.init(jax.random.PRNGKey(0), x)
+    out = fmodel.apply(variables, x, train=False)
+    assert out["out"].shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(out["out"])).all()

@@ -72,8 +72,13 @@ _REGISTRY: tp.Dict[str, tp.Callable[..., tp.Any]] = {
 BACKBONE_NAMES = tuple(_REGISTRY)
 
 
-def get_backbone(name: str, dtype=jnp.float32):
+def get_backbone(name: str, dtype=jnp.float32, max_tap: int = 5):
+    """``max_tap``: deepest tap index to compute (taps[0..max_tap]).  At
+    model_depth < 5 the reference's Keras graphs prune the encoder stages
+    unreachable from the used taps; passing the matching ``max_tap`` keeps
+    params, compute, and converted checkpoints identical (see
+    ResNetBackbone docstring)."""
     if name not in _REGISTRY:
         raise ValueError(
             f"Unknown backbone {name!r}; available: {BACKBONE_NAMES}")
-    return _REGISTRY[name](dtype=dtype)
+    return _REGISTRY[name](dtype=dtype, max_tap=max_tap)

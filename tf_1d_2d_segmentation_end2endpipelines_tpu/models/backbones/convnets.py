@@ -37,14 +37,24 @@ def _maxpool(x, k=3, s=2):
 
 class ResNetBackbone(nn.Module):
     """ResNet v1 bottleneck backbone (taps: input, stem relu, stage ends --
-    the reference's conv1_relu / convN_blockM_out tap names)."""
+    the reference's conv1_relu / convN_blockM_out tap names).
+
+    ``max_tap``: deepest tap index to produce (taps[0..max_tap]).  At
+    model_depth < 5 the reference's Keras graph prunes every encoder layer
+    unreachable from the used taps (unet_variants.py:1062-1087 truncates
+    ``convs`` + picks the bottleneck by depth); stopping the stage loop at
+    the same boundary keeps params/compute/checkpoints identical.  All
+    backbones in this module follow the same contract.
+    """
 
     blocks: tp.Tuple[int, ...] = (3, 4, 6, 3)
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
+        n_need = self.max_tap + 1
         taps = [x]
         # keras.applications stem: ZeroPad(3) + VALID 7x7 s2, ZeroPad(1) +
         # VALID 3x3 maxpool (exact for ImageNet weight conversion)
@@ -53,12 +63,16 @@ class ResNetBackbone(nn.Module):
         h = _bn(h, train, self.dtype)
         h = relu(h)
         taps.append(h)  # stride 2 ('conv1_relu')
+        if len(taps) >= n_need:
+            return taps
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                                   (1, 2, 2, 1), "VALID")
         feats = 64
         for stage, n_blocks in enumerate(self.blocks):
+            if len(taps) >= n_need:
+                break
             for b in range(n_blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 shortcut = h
@@ -85,37 +99,50 @@ class ResNetV2Backbone(nn.Module):
     two-tensor concat semantics."""
 
     blocks: tp.Tuple[int, ...] = (3, 4, 6, 3)
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
+        n_need = self.max_tap + 1
         taps = [x]
         # keras.applications v2 stem: ZeroPad(3) + VALID 7x7 s2 (with bias,
         # no BN -- pre-activation design), ZeroPad(1) + VALID 3x3 maxpool
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         taps.append(h)  # 'conv1_conv', stride 2
+        if len(taps) >= n_need:
+            return taps
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
                                   (1, 2, 2, 1), "VALID")
         feats = 64
         for stage, n_blocks in enumerate(self.blocks):
+            # this stage's concat tap completes the budget: keras keeps
+            # only the layers feeding (y1, preact) of the LAST block —
+            # cut mid-block at the same boundary
+            final_stage = len(taps) + 1 >= n_need and self.max_tap < 5
             stage_pair = None
             for b in range(n_blocks):
                 stride = 2 if (stage < len(self.blocks) - 1
                                and b == n_blocks - 1) else 1
+                cut = final_stage and b == n_blocks - 1
                 preact = relu(_bn(h, train, self.dtype))
-                if b == 0:
-                    shortcut = _conv(preact, feats * 4, 1, 1, self.dtype)
-                elif stride > 1:
-                    h_pool = _maxpool(h, 1, stride)
-                    shortcut = h_pool
-                else:
-                    shortcut = h
+                shortcut = None
+                if not cut:
+                    if b == 0:
+                        shortcut = _conv(preact, feats * 4, 1, 1, self.dtype)
+                    elif stride > 1:
+                        shortcut = _maxpool(h, 1, stride)
+                    else:
+                        shortcut = h
                 y = _conv(preact, feats, 1, 1, self.dtype, use_bias=False)
                 y1 = relu(_bn(y, train, self.dtype))
+                stage_pair = (y1, preact)
+                if cut:
+                    break
                 # keras v2 pads (1,1) + VALID for the 3x3 (differs from
                 # SAME's (0,1) alignment when stride == 2)
                 y = nn.Conv(feats, (3, 3), strides=(stride, stride),
@@ -124,11 +151,13 @@ class ResNetV2Backbone(nn.Module):
                 y = relu(_bn(y, train, self.dtype))
                 y = _conv(y, feats * 4, 1, 1, self.dtype)
                 h = y + shortcut
-                stage_pair = (y1, preact)
             y1, preact = stage_pair
             # both tensors are at the stage's INPUT stride (the stride-2
             # conv happens after them), matching the reference's taps
             taps.append(jnp.concatenate([y1, preact], axis=-1))
+            if len(taps) >= n_need and self.max_tap < 5:
+                # the full path instead swaps taps[5] for post_relu below
+                return taps
             feats *= 2
         # final post_relu at stride 32
         taps.append(relu(_bn(h, train, self.dtype)))
@@ -142,21 +171,26 @@ class VGGBackbone(nn.Module):
     unet_variants.py:1520-1549)."""
 
     convs: tp.Tuple[int, ...] = (2, 2, 3, 3, 3)
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
+        n_need = self.max_tap + 1
         widths = (64, 128, 256, 512, 512)
         taps = [x]
         h = x
         for stage, (n, w) in enumerate(zip(self.convs, widths)):
+            if len(taps) >= n_need:
+                return taps
             for _ in range(n):
                 h = relu(_conv(h, w, 3, 1, self.dtype))
             if stage >= 1:
                 taps.append(h)  # last conv of blocks 2..5
             h = _maxpool(h, 2, 2)
-        taps.append(h)  # block5_pool, stride 32
+        if len(taps) < n_need:
+            taps.append(h)  # block5_pool, stride 32
         return taps
 
 
@@ -166,11 +200,13 @@ class DenseNetBackbone(nn.Module):
 
     blocks: tp.Tuple[int, ...] = (6, 12, 24, 16)
     growth: int = 32
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
+        n_need = self.max_tap + 1
         taps = [x]
         # keras.applications stem: ZeroPad(3) + VALID 7x7 s2 (exact match
         # so converted ImageNet weights reproduce keras outputs)
@@ -179,6 +215,8 @@ class DenseNetBackbone(nn.Module):
                     param_dtype=jnp.float32)(x)
         h = relu(_bn(h, train, self.dtype))
         taps.append(h)  # conv1/relu, stride 2
+        if len(taps) >= n_need:
+            return taps
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
@@ -196,6 +234,10 @@ class DenseNetBackbone(nn.Module):
                 # BEFORE the 1x1 conv) then conv + avgpool
                 y = relu(_bn(h, train, self.dtype))
                 taps.append(y)  # poolN_relu
+                if len(taps) >= n_need:
+                    # keras prunes the transition's 1x1 conv too: the
+                    # poolN_relu tap is BEFORE it
+                    return taps
                 y = _conv(y, h.shape[-1] // 2, 1, 1, self.dtype,
                           use_bias=False)
                 h = jax.lax.reduce_window(
@@ -212,6 +254,7 @@ class MobileNetBackbone(nn.Module):
     strides 1..32, unet_variants.py:1905-1935)."""
 
     alpha: float = 1.0
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     def _sep(self, h, feats, stride, train):
@@ -225,21 +268,30 @@ class MobileNetBackbone(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
         a = self.alpha
+        n_need = self.max_tap + 1
         taps = [x]
         h = _conv(x, int(32 * a), 3, 2, self.dtype, use_bias=False)
         h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         h = self._sep(h, int(64 * a), 1, train)
         taps.append(h)  # stride 2
+        if len(taps) >= n_need:
+            return taps
         h = self._sep(h, int(128 * a), 2, train)
         h = self._sep(h, int(128 * a), 1, train)
         taps.append(h)  # stride 4
+        if len(taps) >= n_need:
+            return taps
         h = self._sep(h, int(256 * a), 2, train)
         h = self._sep(h, int(256 * a), 1, train)
         taps.append(h)  # stride 8
+        if len(taps) >= n_need:
+            return taps
         h = self._sep(h, int(512 * a), 2, train)
         for _ in range(5):
             h = self._sep(h, int(512 * a), 1, train)
         taps.append(h)  # stride 16
+        if len(taps) >= n_need:
+            return taps
         h = self._sep(h, int(1024 * a), 2, train)
         h = self._sep(h, int(1024 * a), 1, train)
         taps.append(h)  # stride 32
@@ -253,9 +305,10 @@ class MobileNetV2Backbone(nn.Module):
     (exact for keras.applications weight conversion; BN eps 1e-3)."""
 
     alpha: float = 1.0
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
-    def _inv(self, h, feats, stride, expand, train):
+    def _inv(self, h, feats, stride, expand, train, tap_only=False):
         cin = h.shape[-1]
         y = h
         expand_act = None
@@ -263,6 +316,10 @@ class MobileNetV2Backbone(nn.Module):
             y = _conv(y, cin * expand, 1, 1, self.dtype, use_bias=False)
             y = nn.relu6(_bn(y, train, self.dtype, eps=1e-3))
             expand_act = y
+            if tap_only:
+                # this block's expand activation is the final needed tap:
+                # keras prunes the depthwise/project layers after it
+                return None, expand_act
         c = y.shape[-1]
         y = _conv(y, c, 3, stride, self.dtype, use_bias=False, groups=c)
         y = nn.relu6(_bn(y, train, self.dtype, eps=1e-3))
@@ -278,15 +335,21 @@ class MobileNetV2Backbone(nn.Module):
         cfg = [  # (expand, feats, n, stride)
             (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
             (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+        n_need = self.max_tap + 1
         taps = [x]
         h = _conv(x, 32, 3, 2, self.dtype, use_bias=False)
         h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         for expand, feats, n, s in cfg:
             for b in range(n):
+                is_tap = s == 2 and b == 0 and expand != 1
+                tap_only = is_tap and len(taps) + 1 >= n_need
                 h, expand_act = self._inv(h, int(feats * self.alpha),
-                                          s if b == 0 else 1, expand, train)
-                if s == 2 and b == 0 and expand_act is not None:
+                                          s if b == 0 else 1, expand, train,
+                                          tap_only=tap_only)
+                if is_tap:
                     taps.append(expand_act)  # block_N_expand_relu
+                    if tap_only:
+                        return taps
         h = _conv(h, 1280, 1, 1, self.dtype, use_bias=False)
         h = nn.relu6(_bn(h, train, self.dtype, eps=1e-3))
         taps.append(h)  # out_relu, stride 32
@@ -316,6 +379,7 @@ class MobileNetV3Backbone(nn.Module):
     """
 
     size: str = "large"
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     @staticmethod
@@ -378,13 +442,16 @@ class MobileNetV3Backbone(nn.Module):
                    (5, 288, 96, True, hs, 2), (5, 576, 96, True, hs, 1),
                    (5, 576, 96, True, hs, 1)]
             last = 576
+        n_need = self.max_tap + 1
         taps = [x]
         h = x.astype(self.dtype) / 127.5 - 1.0  # keras internal Rescaling
         h = _conv(h, 16, 3, 2, self.dtype, use_bias=False)
         h = _hswish(_bn(h, train, self.dtype, eps=1e-3))
         for block_id, (k, exp, feats, se, act, s) in enumerate(cfg):
             if s == 2:
-                taps.append(h)
+                taps.append(h)  # pre-stride block input (intent taps)
+                if len(taps) >= n_need:
+                    return taps
             h = self._block(h, block_id, k, exp, feats, se, act, s, train)
         h = _conv(h, last, 1, 1, self.dtype, use_bias=False)
         h = _hswish(_bn(h, train, self.dtype, eps=1e-3))

@@ -69,6 +69,7 @@ class EfficientNetBackbone(nn.Module):
 
     width: float = 1.0
     depth: float = 1.0
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     # B0 base config: (kernel, repeats, cin, cout, expand, stride)
@@ -77,7 +78,7 @@ class EfficientNetBackbone(nn.Module):
              (5, 3, 80, 112, 6, 1), (5, 4, 112, 192, 6, 2),
              (3, 1, 192, 320, 6, 1)]
 
-    def _mbconv(self, h, k, cout, expand, stride, train):
+    def _mbconv(self, h, k, cout, expand, stride, train, tap_only=False):
         cin = h.shape[-1]
         y = h
         expand_act = None
@@ -85,6 +86,9 @@ class EfficientNetBackbone(nn.Module):
             y = _conv(y, cin * expand, 1, 1, self.dtype)
             y = nn.swish(_bn(y, train, self.dtype))
             expand_act = y
+            if tap_only:
+                # final needed tap: keras prunes the rest of the block
+                return None, expand_act
         c = y.shape[-1]
         y = _conv(y, c, k, stride, self.dtype, groups=c)
         y = nn.swish(_bn(y, train, self.dtype))
@@ -106,6 +110,7 @@ class EfficientNetBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False
                  ) -> tp.List[jax.Array]:
+        n_need = self.max_tap + 1
         taps = [x]
         h = InputNorm(dtype=self.dtype)(x)
         stem = _round_filters(32, self.width)
@@ -116,9 +121,14 @@ class EfficientNetBackbone(nn.Module):
             reps = _round_repeats(r, self.depth)
             for b in range(reps):
                 s = stride if b == 0 else 1
-                h, expand_act = self._mbconv(h, k, cout_s, expand, s, train)
-                if s == 2 and b == 0 and expand_act is not None:
+                is_tap = s == 2 and b == 0 and expand != 1
+                tap_only = is_tap and len(taps) + 1 >= n_need
+                h, expand_act = self._mbconv(h, k, cout_s, expand, s, train,
+                                             tap_only=tap_only)
+                if is_tap:
                     taps.append(expand_act)  # blockNa_expand_activation
+                    if tap_only:
+                        return taps
         h = _conv(h, _round_filters(1280, self.width), 1, 1, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
         taps.append(h)  # top_activation, stride 32
@@ -129,6 +139,7 @@ class EfficientNetV2Backbone(nn.Module):
     """EfficientNet V2 (fused-MBConv early stages)."""
 
     size: str = "b0"
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
 
     # (kernel, repeats, cout, expand, stride, fused, se)
@@ -162,7 +173,8 @@ class EfficientNetV2Backbone(nn.Module):
     _STEM = {"b0": 32, "b1": 32, "b2": 32, "b3": 40, "s": 24, "m": 24,
              "l": 32}
 
-    def _block(self, h, k, cout, expand, stride, fused, se_ratio, train):
+    def _block(self, h, k, cout, expand, stride, fused, se_ratio, train,
+               tap_only=False):
         cin = h.shape[-1]
         y = h
         expand_act = None
@@ -171,6 +183,8 @@ class EfficientNetV2Backbone(nn.Module):
                 y = _conv(y, cin * expand, k, stride, self.dtype)
                 y = nn.swish(_bn(y, train, self.dtype))
                 expand_act = y
+                if tap_only:
+                    return None, expand_act
                 y = _conv(y, cout, 1, 1, self.dtype)
                 y = _bn(y, train, self.dtype)
             else:
@@ -178,11 +192,15 @@ class EfficientNetV2Backbone(nn.Module):
                 y = nn.swish(_bn(y, train, self.dtype))
                 expand_act = y  # 'project_activation' of an e=1 fused
                 # block is this pre-residual activation
+                if tap_only:
+                    return None, expand_act
         else:
             if expand != 1:
                 y = _conv(y, cin * expand, 1, 1, self.dtype)
                 y = nn.swish(_bn(y, train, self.dtype))
                 expand_act = y
+                if tap_only:
+                    return None, expand_act
             c = y.shape[-1]
             y = _conv(y, c, k, stride, self.dtype, groups=c)
             y = nn.swish(_bn(y, train, self.dtype))
@@ -226,17 +244,22 @@ class EfficientNetV2Backbone(nn.Module):
         # block1), (stage3, block0), (stage5, block0).  Exact for the
         # 6-stage B0-B3 layouts; S/M/L share the first 6 stages.
         tap_expand = {(1, 1), (3, 0), (5, 0)}
+        n_need = self.max_tap + 1
         for stage, (k, reps, cout, expand, stride, fused, se) in enumerate(cfg):
             for b in range(reps):
                 s = stride if b == 0 else 1
+                is_tap = (stage == 0 and b == 0) or (stage, b) in tap_expand
+                tap_only = is_tap and len(taps) + 1 >= n_need
                 h, expand_act = self._block(h, k, cout, expand, s, fused,
-                                            se, train)
+                                            se, train, tap_only=tap_only)
                 if stage == 0 and b == 0:
                     # block1a project_activation (pre-residual; for the B
                     # variants cin != cout so it equals the block output)
                     taps.append(expand_act if expand_act is not None else h)
                 elif (stage, b) in tap_expand and expand_act is not None:
                     taps.append(expand_act)
+                if tap_only and len(taps) >= n_need:
+                    return taps
         h = _conv(h, 1280, 1, 1, self.dtype)
         h = nn.swish(_bn(h, train, self.dtype))
         taps.append(h)  # top_activation, stride 32

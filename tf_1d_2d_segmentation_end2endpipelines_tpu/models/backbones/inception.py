@@ -55,6 +55,7 @@ class InceptionV3Backbone(nn.Module):
     demonstrated in tests/test_backbones.py).  pad='VALID' mirrors
     keras.applications exactly for the weight-conversion fixtures."""
 
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
     pad: str = "SAME"
 
@@ -96,20 +97,27 @@ class InceptionV3Backbone(nn.Module):
                  ) -> tp.List[jax.Array]:
         d = self.dtype
         p = self.pad
+        n_need = self.max_tap + 1
         taps = [x]
         h = _cba(x, 32, 3, 2, train, d, padding=p)
         h = _cba(h, 32, 3, 1, train, d, padding=p)
         h = _cba(h, 64, 3, 1, train, d)
         taps.append(h)  # stride 2
+        if len(taps) >= n_need:
+            return taps
         h = _maxpool(h, padding=p)
         h = _cba(h, 80, 1, 1, train, d, padding=p)
         h = _cba(h, 192, 3, 1, train, d, padding=p)
         taps.append(h)  # stride 4
+        if len(taps) >= n_need:
+            return taps
         h = _maxpool(h, padding=p)
         h = self._block_a(h, 32, train)
         h = self._block_a(h, 64, train)
         h = self._block_a(h, 64, train)
         taps.append(h)  # stride 8
+        if len(taps) >= n_need:
+            return taps
         # reduction A
         b1 = _cba(h, 384, 3, 2, train, d, padding=p)
         b2 = _cba(_cba(_cba(h, 64, 1, 1, train, d), 96, 3, 1, train, d),
@@ -118,6 +126,8 @@ class InceptionV3Backbone(nn.Module):
         for c7 in (128, 160, 160, 192):
             h = self._block_b(h, c7, train)
         taps.append(h)  # stride 16
+        if len(taps) >= n_need:
+            return taps
         # reduction B
         b1 = _cba(_cba(h, 192, 1, 1, train, d), 320, 3, 2, train, d,
                   padding=p)
@@ -136,6 +146,7 @@ class InceptionResNetV2Backbone(nn.Module):
     InceptionV3Backbone (the reference's activation_N tap names do not
     even exist under the installed Keras 3)."""
 
+    max_tap: int = 5
     dtype: Dtype = jnp.float32
     pad: str = "SAME"
 
@@ -176,15 +187,20 @@ class InceptionResNetV2Backbone(nn.Module):
                  ) -> tp.List[jax.Array]:
         d = self.dtype
         p = self.pad
+        n_need = self.max_tap + 1
         taps = [x]
         h = _cba(x, 32, 3, 2, train, d, padding=p)
         h = _cba(h, 32, 3, 1, train, d, padding=p)
         h = _cba(h, 64, 3, 1, train, d)
         taps.append(h)  # stride 2
+        if len(taps) >= n_need:
+            return taps
         h = _maxpool(h, padding=p)
         h = _cba(h, 80, 1, 1, train, d, padding=p)
         h = _cba(h, 192, 3, 1, train, d, padding=p)
         taps.append(h)  # stride 4
+        if len(taps) >= n_need:
+            return taps
         h = _maxpool(h, padding=p)
         # stem mixed block
         b1 = _cba(h, 96, 1, 1, train, d)
@@ -196,6 +212,8 @@ class InceptionResNetV2Backbone(nn.Module):
         for _ in range(10):
             h = self._block35(h, train)
         taps.append(h)  # stride 8
+        if len(taps) >= n_need:
+            return taps
         # reduction A
         b1 = _cba(h, 384, 3, 2, train, d, padding=p)
         b2 = _cba(_cba(_cba(h, 256, 1, 1, train, d), 256, 3, 1, train, d),
@@ -204,6 +222,8 @@ class InceptionResNetV2Backbone(nn.Module):
         for _ in range(20):
             h = self._block17(h, train)
         taps.append(h)  # stride 16
+        if len(taps) >= n_need:
+            return taps
         # reduction B
         b1 = _cba(_cba(h, 256, 1, 1, train, d), 384, 3, 2, train, d,
                   padding=p)

@@ -97,8 +97,39 @@ def load_backbone_weights(name: str, flax_backbone, sample: jax.Array,
     with KerasCreationRecorder() as rec:
         kmodel = builder(include_top=False, weights=weights,
                          input_shape=tuple(sample.shape[1:]))
+    # a truncated backbone (max_tap < 5) is a strict prefix of the full
+    # keras.applications model in the shared creation order
+    prefix = getattr(flax_backbone, "max_tap", 5) < 5
     return convert_keras_weights(kmodel, flax_backbone, sample,
-                                 creation_order=rec.order), kmodel
+                                 creation_order=rec.order,
+                                 allow_prefix=prefix), kmodel
+
+
+def backbone_creation_names(name: str, input_shape: tp.Tuple[int, ...]
+                            ) -> tp.List[str]:
+    """Weighted-layer NAMES of a fresh ``keras.applications`` backbone in
+    creation order.  Used by ``tpuseg import-keras`` to rank the
+    hand-named backbone layers inside a deserialized pretrained-encoder
+    checkpoint (keras.applications names are fixed strings, so name
+    equality pairs the fresh build with the loaded graph;
+    utils/keras_compat.py::infer_creation_order)."""
+    import importlib
+    from ...utils.keras_compat import KerasCreationRecorder
+    if name == "CheXNet":
+        module_name, attr = "tensorflow.keras.applications", "DenseNet121"
+    elif name in KERAS_BUILDERS:
+        module_name, attr = KERAS_BUILDERS[name]
+    else:
+        raise NotImplementedError(
+            f"import for pretrained backbone {name!r} not implemented "
+            f"(known: {EXACT_FAMILIES} plus CheXNet)")
+    builder = getattr(importlib.import_module(module_name), attr)
+    with KerasCreationRecorder() as rec:
+        kmodel = builder(include_top=False, weights=None,
+                         input_shape=tuple(input_shape))
+    members = set(id(l) for l in kmodel.layers)
+    return [l.name for l in rec.order
+            if id(l) in members and l.get_weights()]
 
 
 def load_chexnet_weights(flax_backbone, sample: jax.Array,
@@ -120,5 +151,7 @@ def load_chexnet_weights(flax_backbone, sample: jax.Array,
         full = tf.keras.Model(base.input, pred)
     if weights:
         full.load_weights(weights)
+    prefix = getattr(flax_backbone, "max_tap", 5) < 5
     return convert_keras_weights(base, flax_backbone, sample,
-                                 creation_order=rec.order), base
+                                 creation_order=rec.order,
+                                 allow_prefix=prefix), base

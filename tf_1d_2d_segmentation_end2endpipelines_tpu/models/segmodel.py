@@ -89,12 +89,18 @@ class SegModel(nn.Module):
         # ---- encoder ----
         if self.train_mode == "pretrained_encoder":
             from .backbones import get_backbone  # lazy: registry import
-            bb = get_backbone(self.backbone, dtype=self.dtype)
+            bb = get_backbone(self.backbone, dtype=self.dtype,
+                              max_tap=min(D, 5))
             raw = bb(x, train=train and self.backbone_trainable)
-            # raw: list of taps at strides 1,2,4,8,16(,32); project levels 1..5
+            # raw: list of taps at strides 1,2,4,8,16(,32).  The reference
+            # creates projections for all 5 levels, but for depth<5 the
+            # levels above D+1 are unreachable from the output and Keras
+            # drops them from the saved graph (unet_variants.py:1062-1087);
+            # build only the reachable ones so params/checkpoints match.
+            n_proj = min(D + 1, 5)
             taps: tp.List[jax.Array] = []
             if self.genre == "FPN":
-                for lvl in range(1, 6):
+                for lvl in range(1, n_proj + 1):
                     kernel = 1
                     feats = W * (2 ** (lvl - 1))
                     from ..ops import ConvBlock
@@ -105,7 +111,7 @@ class SegModel(nn.Module):
                         taps.append(ConvBlock(feats, kernel, use_bn=False,
                                               dtype=self.dtype)(raw[lvl - 1], train))
             else:
-                for lvl in range(1, 6):
+                for lvl in range(1, n_proj + 1):
                     taps.append(PretrainedTapProjector(
                         self.decoder_name, lvl, W, D, alpha=self.alpha,
                         q=self.q, dtype=self.dtype)(raw[lvl - 1], taps, train))

@@ -275,9 +275,23 @@ class _ExplicitGradConvTranspose(nn.ConvTranspose):
 #: step) 241.85 -> 236.79 ms/step (529.3 -> 540.6 img/s/chip) — the
 #: backward `reverse` fusions drop out.  Gradients equal jax's stock
 #: autodiff to 1e-5 (tests/test_transconv_vjp.py).
-#: TPUSEG_TRANSCONV_VJP=stock restores jax's conv_transpose autodiff.
-_TRANSCONV_EXPLICIT = (
-    os.environ.get("TPUSEG_TRANSCONV_VJP", "explicit") != "stock")
+#: TPUSEG_TRANSCONV_VJP=stock restores jax's conv_transpose autodiff
+#: (also the route to forward-mode autodiff: the custom_vjp path does
+#: not support jvp/jacfwd).  Legacy 'auto' maps to the default.
+def _parse_transconv_vjp() -> bool:
+    value = os.environ.get("TPUSEG_TRANSCONV_VJP", "explicit")
+    if value in ("explicit", "auto"):
+        return True
+    if value == "stock":
+        return False
+    import warnings
+    warnings.warn(
+        f"TPUSEG_TRANSCONV_VJP={value!r} is not one of 'explicit'/'stock' "
+        f"(legacy 'auto' = default); using 'explicit'", stacklevel=2)
+    return True
+
+
+_TRANSCONV_EXPLICIT = _parse_transconv_vjp()
 
 
 class TransConv(nn.Module):

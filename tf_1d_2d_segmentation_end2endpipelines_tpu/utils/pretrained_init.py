@@ -26,7 +26,10 @@ def init_segmodel_with_imagenet(model, sample: jax.Array,
     if rng is None:
         rng = jax.random.PRNGKey(0)
     variables = model.init(rng, sample, train=False)
-    bb = get_backbone(model.backbone, dtype=model.dtype)
+    # match the model's truncation: SegModel builds its backbone with
+    # max_tap = min(model_depth, 5) (unused deep stages pruned)
+    bb = get_backbone(model.backbone, dtype=model.dtype,
+                      max_tap=min(model.model_depth, 5))
     bb_vars, _ = load_backbone_weights(model.backbone, bb, sample,
                                        weights=weights)
 
