@@ -1,0 +1,172 @@
+"""`tpuseg import-keras`: migrate a TRAINED reference checkpoint.
+
+The reference's artifact of record is a full Keras model file
+(ModelCheckpoint -> `<name>_<imwidth>_Fold_<i>.keras`, Train.py:375-379,
+reloaded by Test.py:110-116; the 1D notebook writes a legacy `.h5`,
+cell 35).  These tests save real reference models to disk WITHOUT any
+creation-order recorder (exactly what a migrating user has), import them,
+and require the imported checkpoint to reproduce Keras `predict` <1e-4 —
+including through the full `tpuseg test` driver report.
+
+The interesting machinery under test is creation-order RECONSTRUCTION
+(utils/keras_compat.py::infer_creation_order): UNet++ is a non-chain graph
+where `model.layers` traversal order diverges from creation order, DS
+heads are hand-named `level{k}`, and the pretrained case interleaves
+keras.applications fixed names with auto-named decoder layers.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from test_parity_keras import ref_modules  # noqa: F401 (fixture)
+from test_parity_pretrained import no_imagenet  # noqa: F401 (fixture)
+
+tf = pytest.importorskip("tensorflow")
+
+from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (  # noqa: E402
+    import_keras, test as run_test)
+from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (  # noqa: E402
+    TestConfig, TrainConfig)
+
+
+def _write_dataset(root, n=2, size=32):
+    rng = np.random.default_rng(7)
+    for sub in ("images", "masks"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n):
+        img = (rng.uniform(0, 255, (size, size, 3))).astype(np.uint8)
+        msk = np.zeros((size, size), np.uint8)
+        msk[8:20, 8:20] = 255
+        Image.fromarray(img).save(os.path.join(root, "images", f"{i}.png"))
+        Image.fromarray(msk).save(os.path.join(root, "masks", f"{i}.png"))
+
+
+def test_import_keras_unetpp_ds_end_to_end(ref_modules, tmp_path):
+    """UNet++ with deep supervision: save -> import -> `tpuseg test`
+    report equals one computed from Keras predictions."""
+    builder = ref_modules["2d"].unet_model_builder(
+        "UNetPP", 32, 32, 4, 2, num_channels=3, output_nums=1,
+        ds=1, dense_loop=1, train_mode="from_scratch")
+    kmodel = builder.ResNet50()
+    ckpt_path = str(tmp_path / "UNetPP_32_Fold_1.keras")
+    kmodel.save(ckpt_path)
+    del kmodel
+    cfg = TrainConfig(
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNetPP", model_genre="UNet", d_s=1, dense_loop=1,
+        save_dir=str(tmp_path / "Results"), start_fold=1, end_fold=1)
+    fold_dir = import_keras(ckpt_path, config=cfg, fold=1)
+    assert os.path.isdir(os.path.join(fold_dir, "best"))
+    # the persisted config lets a standalone `tpuseg test` rebuild
+    assert os.path.exists(os.path.join(cfg.save_dir, "Train_Configs.ini"))
+
+    data = tmp_path / "Data"
+    _write_dataset(str(data / "Test"))
+    tcfg = TestConfig(
+        test_dir=str(data / "Test"), imheight=32, imwidth=32,
+        decoder_name="UNetPP", class_number=1, threshold=0.5,
+        start_fold=1, end_fold=1, save_dir=str(tmp_path / "Results"))
+    reports = run_test(config=tcfg, train_config=cfg)
+    assert reports[1]["checkpoint_restored"] is True
+
+    # independent ground truth: the RELOADED Keras model's own
+    # predictions through the identical preprocessing
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.data.generators import (
+        SegmentationFolderDataset)
+    import keras
+    kmodel = keras.saving.load_model(ckpt_path, compile=False)
+    ds = SegmentationFolderDataset(
+        str(data / "Test"), (32, 32), tcfg.image_color_mode,
+        tcfg.mask_color_mode, tcfg.normalizing_factor_img,
+        tcfg.normalizing_factor_msk)
+    correct = total = 0
+    for i in range(len(ds)):
+        img, msk = ds.load_pair(i)
+        pred = kmodel(img[None], training=False)
+        if isinstance(pred, (list, tuple)):
+            pred = pred[0]
+        pred_lbl = (np.asarray(pred)[0, ..., 0] > 0.5).astype(np.int32)
+        true_lbl = (msk[..., 0] > 0.5).astype(np.int32)
+        correct += int((pred_lbl == true_lbl).sum())
+        total += pred_lbl.size
+    keras_accuracy = 100.0 * correct / total
+    # the report rounds to 2 decimals (reference Test.py formatting)
+    assert reports[1]["overall_accuracy"] == pytest.approx(
+        keras_accuracy, abs=5e-3)
+
+
+def test_import_keras_pretrained_encoder(ref_modules, no_imagenet,
+                                         tmp_path):
+    """Pretrained-encoder checkpoint: keras.applications fixed names +
+    auto-named decoder layers interleave correctly on import."""
+    import jax
+    builder = ref_modules["2d"].unet_model_builder(
+        "UNet", 32, 32, 4, 3, num_channels=3, output_nums=1,
+        ds=0, dense_loop=1, train_mode="pretrained_encoder")
+    kmodel = builder.ResNet50()
+    ckpt_path = str(tmp_path / "UNet_32_Fold_1.keras")
+    kmodel.save(ckpt_path)
+    x = np.random.default_rng(3).normal(size=(1, 32, 32, 3)).astype(
+        np.float32)
+    ref = np.asarray(kmodel(x, training=False))
+    del kmodel
+    cfg = TrainConfig(
+        imlength=32, imwidth=32, model_width=4, model_depth=3,
+        decoder_name="UNet", model_genre="UNet", dense_loop=1,
+        encoder_mode="pretrained_encoder", encoder_name="ResNet50",
+        save_dir=str(tmp_path / "Results"), start_fold=1, end_fold=1)
+    import_keras(ckpt_path, config=cfg, fold=1)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (
+        _build_model, _fold_dir, _restore_trainer)
+    model, trainer = _restore_trainer(cfg, _fold_dir(cfg, 1), "testing")
+    got = np.asarray(trainer.predict(x)["out"])
+    assert float(np.max(np.abs(got - ref))) < 1e-4
+
+
+def test_import_keras_1d_h5(ref_modules, tmp_path):
+    """1D legacy .h5 full-model file (notebook cell 35)."""
+    kbuilder = ref_modules["1d"].UNet(64, 2, 1, 4, 3,
+                                      problem_type="Regression",
+                                      output_nums=1, ds=0, ae=0, ag=0,
+                                      lstm=0, is_transconv=True)
+    kmodel = kbuilder.UNet()
+    ckpt_path = str(tmp_path / "UNet_64_4_1_0.h5")
+    kmodel.save(ckpt_path)
+    x = np.random.default_rng(4).normal(size=(2, 64, 1)).astype(np.float32)
+    ref = np.asarray(kmodel(x, training=False))
+    del kmodel
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers_1d import (
+        _restore_trainer_1d, import_keras_1d)
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (
+        Signal1DConfig)
+    cfg = Signal1DConfig(model_name="UNet", signal_length=64,
+                         model_depth=2, num_channel=1, model_width=4,
+                         kernel_size=3, problem_type="Regression",
+                         save_dir=str(tmp_path / "Results1D"))
+    import_keras_1d(ckpt_path, config=cfg)
+    model, trainer, restored = _restore_trainer_1d(cfg, "testing")
+    assert restored
+    got = np.asarray(trainer.predict(x)["out"])
+    assert float(np.max(np.abs(got - ref))) < 1e-4
+
+
+def test_import_keras_wrong_config_errors(ref_modules, tmp_path):
+    """A config that does not describe the checkpoint must error loudly,
+    not write garbage weights."""
+    builder = ref_modules["2d"].unet_model_builder(
+        "UNetPP", 32, 32, 4, 2, num_channels=3, output_nums=1,
+        ds=0, dense_loop=1, train_mode="from_scratch")
+    kmodel = builder.ResNet50()
+    ckpt_path = str(tmp_path / "UNetPP_32_Fold_1.keras")
+    kmodel.save(ckpt_path)
+    del kmodel
+    cfg = TrainConfig(
+        imlength=32, imwidth=32, model_width=4, model_depth=2,
+        decoder_name="UNet", model_genre="UNet",  # wrong decoder
+        dense_loop=1,
+        save_dir=str(tmp_path / "Results"), start_fold=1, end_fold=1)
+    with pytest.raises(ValueError, match="cannot import|mismatch"):
+        import_keras(ckpt_path, config=cfg, fold=1)
+    assert not os.path.isdir(os.path.join(cfg.save_dir, "Fold_1", "best"))

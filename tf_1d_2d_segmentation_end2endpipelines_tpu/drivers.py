@@ -540,6 +540,112 @@ def summarize_model(model, sample, name: str) -> tp.Dict[str, tp.Any]:
     return info
 
 
+def _merge_converted(init_tree, converted) -> tp.Any:
+    """Overwrite ``init_tree`` leaves with the converted Keras values,
+    requiring the key sets to agree exactly (a converted tree that is
+    missing leaves — or carries extras — means the config does not
+    describe the checkpoint's architecture)."""
+    from flax import traverse_util
+    flat_init = traverse_util.flatten_dict(init_tree)
+    flat_new = traverse_util.flatten_dict(converted)
+    missing = sorted(set(flat_init) - set(flat_new))
+    extra = sorted(set(flat_new) - set(flat_init))
+    if missing or extra:
+        raise ValueError(
+            f"import produced a mismatched parameter tree; missing "
+            f"{['/'.join(k) for k in missing][:5]}, extra "
+            f"{['/'.join(k) for k in extra][:5]}")
+    for key, val in flat_new.items():
+        if tuple(flat_init[key].shape) != tuple(val.shape):
+            raise ValueError(
+                f"import shape mismatch at {'/'.join(key)}: model "
+                f"{tuple(flat_init[key].shape)} vs checkpoint "
+                f"{tuple(val.shape)}")
+        flat_init[key] = jnp.asarray(val, flat_init[key].dtype)
+    return traverse_util.unflatten_dict(flat_init)
+
+
+def import_keras(ckpt_path: str, config_path: str = "Train_Configs.ini",
+                 config: tp.Optional[TrainConfig] = None, fold: int = 1,
+                 verify: bool = True, dtype=None) -> str:
+    """Import a trained reference checkpoint as this framework's artifact.
+
+    The reference's artifact of record is a full Keras model file — 2D:
+    ``ModelCheckpoint(...model_name_imwidth_Fold_i.keras)``
+    (Train.py:375-379), reloaded by Test.py:110-116; 1D notebook cell 35
+    writes a legacy ``.h5``.  This verb loads it, converts the weights by
+    reconstructed creation order (utils/keras_compat.py:
+    ``convert_loaded_keras``), and writes the orbax 'best' checkpoint into
+    the config's ``Fold_{fold}`` dir plus the persisted ``Train_Configs.ini``
+    — after which ``tpuseg test/serve/export/predict`` consume the trained
+    model natively.
+
+    ``verify``: run the Keras model and the imported Flax model on one
+    random batch and report the max output deviation.  Aborts > 2e-2:
+    mis-wired weights decorrelate outputs (deviations >0.1), while
+    platform numerics (TF oneDNN reductions ~1e-3, XLA:CPU conv
+    truncation ~2.5e-3 relative) stay well under it; the import tests
+    pin deterministic numerics and hold the parity bar (<1e-4).
+
+    Limitation: Self-ONN checkpoints cannot deserialize without the
+    reference's custom ``Oper2D`` classes on the Python path (Keras
+    refuses unknown layer classes); retrain those or export from a live
+    reference process.
+    """
+    cfg = config if config is not None else load_train_config(config_path)
+    import keras
+    kmodel = keras.saving.load_model(ckpt_path, compile=False)
+    model = _build_model(cfg, dtype=dtype)
+    sample = np.zeros((1, cfg.imlength, cfg.imwidth, cfg.num_channels),
+                      np.float32)
+    backbone_names = None
+    if cfg.train_mode == "pretrained_encoder":
+        from .models.backbones.pretrained import backbone_creation_names
+        backbone_names = backbone_creation_names(
+            cfg.encoder_name, tuple(sample.shape[1:]))
+    from .utils.keras_compat import convert_loaded_keras
+    variables = convert_loaded_keras(kmodel, model, sample,
+                                     backbone_names=backbone_names)
+    trainer = Trainer(model)
+    trainer.init_state(sample)
+    state = trainer.state
+    state = state.replace(
+        params=_merge_converted(state.params, variables["params"]),
+        batch_stats=_merge_converted(state.batch_stats,
+                                     variables.get("batch_stats", {}))
+        if state.batch_stats else state.batch_stats)
+    if verify:
+        import jax
+        x = np.random.default_rng(0).normal(
+            size=sample.shape).astype(np.float32)
+        ref = kmodel(x, training=False)
+        if isinstance(ref, (list, tuple)):
+            ref = ref[0]
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(jax.jit(
+                lambda v, x: model.apply(v, x, train=False))(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, x)["out"])
+        diff = float(np.max(np.abs(got - np.asarray(ref))))
+        if diff > 2e-2:
+            raise ValueError(
+                f"import verification FAILED: max output deviation "
+                f"{diff:.2e} vs the Keras checkpoint (expected <2e-2); "
+                f"the config likely does not match the checkpoint")
+        print(f"verified: max output deviation {diff:.2e} vs Keras",
+              flush=True)
+    trainer.state = state
+    fold_dir = _fold_dir(cfg, fold)
+    ckpt = CheckpointManager(fold_dir)
+    ckpt.save(trainer.state, "best")
+    if cfg.save_dir:
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        save_train_config(cfg, os.path.join(cfg.save_dir,
+                                            "Train_Configs.ini"))
+    print(f"imported {ckpt_path} -> {fold_dir}/best", flush=True)
+    return fold_dir
+
+
 def summary(config_path: str = "Train_Configs.ini",
             config: tp.Optional[TrainConfig] = None) -> tp.Dict[str, tp.Any]:
     """Model summary from a train config (the reference prints Keras
@@ -825,6 +931,26 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     p_fld.add_argument("--test-portion", type=float, default=0.2)
     p_fld.add_argument("--val-portion", type=float, default=0.1)
     p_fld.add_argument("--seed", type=int, default=1)
+    p_imp = sub.add_parser(
+        "import-keras", help="import a trained reference checkpoint "
+        "(full-model .keras from Train.py:375-379, or legacy .h5) as the "
+        "orbax 'best' checkpoint for the config's fold — migrates "
+        "trained reference models into tpuseg test/serve/export/predict")
+    p_imp.add_argument("checkpoint", help="path to the .keras/.h5 file")
+    p_imp.add_argument("config", nargs="?", default="Train_Configs.ini",
+                       help="[TRAIN] INI describing the checkpoint's "
+                       "architecture (the reference's own Train config)")
+    p_imp.add_argument("--fold", type=int, default=1)
+    p_imp.add_argument("--no-verify", action="store_true",
+                       help="skip the one-batch Keras-vs-imported output "
+                       "comparison")
+    p_i1d = sub.add_parser(
+        "import-keras1d", help="import a trained reference 1D checkpoint "
+        "(the notebook's trained_models/*.h5, cell 35) as the orbax "
+        "'best' checkpoint under the [SIGNAL1D] config's save_dir")
+    p_i1d.add_argument("checkpoint")
+    p_i1d.add_argument("config", nargs="?", default="Signal_Configs.ini")
+    p_i1d.add_argument("--no-verify", action="store_true")
     sub.add_parser("doctor", help="environment diagnostics: versions, "
                    "devices, native fast-path status, optional deps, "
                    "compile smoke")
@@ -920,6 +1046,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                      num_folds=args.folds, test_portion=args.test_portion,
                      val_portion=args.val_portion, seed=args.seed)
         print(f"wrote {args.folds} folds under {args.out}/", flush=True)
+    elif args.cmd == "import-keras":
+        import_keras(args.checkpoint, args.config, fold=args.fold,
+                     verify=not args.no_verify)
+    elif args.cmd == "import-keras1d":
+        from .drivers_1d import import_keras_1d
+        import_keras_1d(args.checkpoint, args.config,
+                        verify=not args.no_verify)
     elif args.cmd == "doctor":
         doctor()
     elif args.cmd == "tune":

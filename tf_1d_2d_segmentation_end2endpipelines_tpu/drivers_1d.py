@@ -90,6 +90,65 @@ def _restore_trainer_1d(cfg: Signal1DConfig, action: str, dtype=None):
     return model, trainer, restored
 
 
+def import_keras_1d(ckpt_path: str,
+                    config_path: str = "Signal_Configs.ini",
+                    config: tp.Optional[Signal1DConfig] = None,
+                    verify: bool = True) -> str:
+    """Import a trained reference 1D checkpoint (the notebook's
+    ``trained_models/<name>/..._D_S.h5`` full-model file, cell 35) as the
+    orbax 'best' checkpoint under ``cfg.save_dir``, after which
+    ``tpuseg test1d/serve1d/export1d/predict1d`` consume it.  The 2D
+    analog (``drivers.import_keras``) documents the mechanism."""
+    cfg = config if config is not None else load_signal_config(config_path)
+    import keras
+    import numpy as _np
+    kmodel = keras.saving.load_model(ckpt_path, compile=False)
+    model = _build_model_1d(cfg)
+    sample = _np.zeros((1, cfg.signal_length, cfg.num_channel),
+                       _np.float32)
+    from .utils.keras_compat import convert_loaded_keras
+    variables = convert_loaded_keras(kmodel, model, sample)
+    trainer = Trainer(model, loss=cfg.loss_function, seed=cfg.seed)
+    trainer.init_state(sample)
+    from .drivers import _merge_converted
+    state = trainer.state
+    state = state.replace(
+        params=_merge_converted(state.params, variables["params"]),
+        batch_stats=_merge_converted(state.batch_stats,
+                                     variables.get("batch_stats", {}))
+        if state.batch_stats else state.batch_stats)
+    if verify:
+        import jax
+        x = _np.random.default_rng(0).normal(
+            size=sample.shape).astype(_np.float32)
+        ref = kmodel(x, training=False)
+        if isinstance(ref, (list, tuple)):
+            ref = ref[0]
+        with jax.default_matmul_precision("highest"):
+            got = _np.asarray(jax.jit(
+                lambda v, x: model.apply(v, x, train=False))(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, x)["out"])
+        diff = float(_np.max(_np.abs(got - _np.asarray(ref))))
+        if diff > 2e-2:  # threshold rationale: drivers.import_keras
+            raise ValueError(
+                f"import verification FAILED: max output deviation "
+                f"{diff:.2e} vs the Keras checkpoint (expected <2e-2); "
+                f"the config likely does not match the checkpoint")
+        print(f"verified: max output deviation {diff:.2e} vs Keras",
+              flush=True)
+    trainer.state = state
+    if not cfg.save_dir:
+        raise ValueError("import-keras1d needs save_dir in the config "
+                         "(destination for the imported checkpoint)")
+    os.makedirs(cfg.save_dir, exist_ok=True)
+    CheckpointManager(cfg.save_dir).save(trainer.state, "best")
+    save_signal_config(cfg, os.path.join(cfg.save_dir,
+                                         "Signal_Configs.ini"))
+    print(f"imported {ckpt_path} -> {cfg.save_dir}/best", flush=True)
+    return cfg.save_dir
+
+
 def train_1d(config_path: str = "Signal_Configs.ini",
              config: tp.Optional[Signal1DConfig] = None,
              dtype=None) -> tp.Dict[str, tp.List[float]]:

@@ -157,6 +157,150 @@ def keras_weight_stream(kmodel, creation_order: tp.Optional[tp.List] = None
     return out
 
 
+_KIND_OF_KERAS_CLS = {
+    "Conv1D": "conv", "Conv2D": "conv",
+    "Conv1DTranspose": "convT", "Conv2DTranspose": "convT",
+    "DepthwiseConv1D": "dwconv", "DepthwiseConv2D": "dwconv",
+    "Dense": "dense", "BatchNormalization": "bn",
+    "ConvLSTM1D": "convlstm", "ConvLSTM2D": "convlstm",
+    "Oper1D": "oper", "Oper2D": "oper",
+    "Oper1DTranspose": "operT", "Oper2DTranspose": "operT",
+    "Normalization": "norm",
+}
+
+
+def _snake(cls_name: str) -> str:
+    """Keras auto-name stem for a class (keras.src.utils.naming)."""
+    try:
+        from keras.src.utils.naming import to_snake_case
+        return to_snake_case(cls_name)
+    except Exception:
+        import re
+        s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", cls_name)
+        return re.sub(r"([a-z])([A-Z])", r"\1_\2", s).lower()
+
+
+def _auto_rank(layer) -> tp.Optional[int]:
+    """Creation rank of an AUTO-named Keras layer within its class, or
+    None for a hand-named layer.
+
+    Keras auto-names are ``<snake_class>`` then ``<snake_class>_N`` from a
+    per-class counter that only ever increments, so the numeric suffix
+    orders same-class layers by creation time — including across the
+    reference's fold loop (later folds just start at higher N)."""
+    import re
+    stem = _snake(type(layer).__name__)
+    m = re.fullmatch(re.escape(stem) + r"(?:_(\d+))?", layer.name)
+    if m is None:
+        return None
+    return int(m.group(1)) if m.group(1) else 0
+
+
+def infer_creation_order(kmodel, forder: tp.Sequence["_Leaf"],
+                         backbone_names: tp.Optional[tp.Sequence[str]] = None
+                         ) -> tp.List[tp.Any]:
+    """Reconstruct a DESERIALIZED Keras model's layer creation order.
+
+    A model loaded from disk (``keras.saving.load_model``) was never built
+    under a ``KerasCreationRecorder``; ``model.layers`` is graph-traversal
+    order, which diverges from creation order for non-chain graphs (UNet++
+    grids).  Three facts recover it (used by ``tpuseg import-keras``;
+    reference Train.py:375-379 writes the ``.keras`` artifact, the 1D
+    notebook cell 35 an ``.h5``):
+
+    - AUTO-named layers: per class, the name suffix counters order layers
+      by creation (``_auto_rank``); the Flax model records its own leaf
+      creation order, which equals the reference's global creation order
+      (the invariant every parity fixture in tests/test_parity_*.py rests
+      on), so per-kind queues interleave along the Flax kind sequence.
+    - HAND-named layers: the reference hand-names exactly the layers this
+      framework also hand-names — DS heads ``level{k}``
+      (e.g. unet_variants.py:136) and the A_E latent ``features`` Dense
+      (:45) — so they pair directly with the Flax leaf of the same name.
+    - BACKBONE layers (pretrained_encoder): keras.applications names are
+      fixed strings; ``backbone_names`` (weighted-layer names of a
+      fresh-built backbone in recorded creation order) ranks them, and the
+      whole backbone precedes every decoder layer (the reference calls the
+      ctor first, unet_variants.py:1057).
+    """
+    import collections
+    bb_rank = ({n: i for i, n in enumerate(backbone_names)}
+               if backbone_names else {})
+    queues: tp.Dict[str, list] = {}
+    anchors: tp.Dict[str, tp.Any] = {}
+
+    def _rank(layer):
+        if layer.name in bb_rank:
+            return (0, bb_rank[layer.name], 0)
+        r = _auto_rank(layer)
+        if r is None:  # hand-named inside the backbone but absent from
+            # the fresh build (should not happen for keras.applications)
+            raise ValueError(
+                f"cannot import: cannot order hand-named layer "
+                f"{layer.name!r} ({type(layer).__name__})")
+        return (1, r, 0)
+
+    for layer in kmodel.layers:
+        if not layer.get_weights():
+            continue
+        cls = type(layer).__name__
+        kind = _KIND_OF_KERAS_CLS.get(cls)
+        if kind is None:
+            raise ValueError(
+                f"cannot import: unhandled weighted Keras layer {cls} "
+                f"({layer.name}) — Self-ONN checkpoints need the "
+                f"reference's custom Oper classes to deserialize")
+        auto = _auto_rank(layer) is not None
+        if not auto and layer.name not in bb_rank:
+            # reference hand-names: level{k} DS heads, 'features' — both
+            # named identically on the Flax side, pair directly
+            anchors[layer.name] = (kind, layer)
+        else:
+            queues.setdefault(kind, []).append(layer)
+    for kind in queues:
+        queues[kind] = collections.deque(sorted(queues[kind], key=_rank))
+    order: tp.List[tp.Any] = []
+    for pos, leaf in enumerate(forder):
+        tail = leaf.path[-1] if leaf.path else ""
+        if tail in anchors:
+            kind, layer = anchors.pop(tail)
+            if kind != leaf.kind:
+                raise ValueError(
+                    f"cannot import: named layer {tail!r} is {kind} in "
+                    f"the checkpoint but {leaf.kind} in the model")
+            order.append(layer)
+            continue
+        q = queues.get(leaf.kind)
+        if not q:
+            raise ValueError(
+                f"cannot import: checkpoint has no remaining "
+                f"{leaf.kind!r} layer for position {pos} "
+                f"({'/'.join(leaf.path)}) — the config does not describe "
+                f"this checkpoint's architecture")
+        order.append(q.popleft())
+    leftover = {k: len(q) for k, q in queues.items() if q}
+    if leftover or anchors:
+        raise ValueError(
+            f"cannot import: checkpoint has unconsumed weighted layers "
+            f"(per kind {leftover}, named {sorted(anchors)}) — the config "
+            f"does not describe this checkpoint's architecture")
+    return order
+
+
+def convert_loaded_keras(kmodel, model, sample: jax.Array,
+                         backbone_names: tp.Optional[tp.Sequence[str]] = None,
+                         **apply_kwargs) -> dict:
+    """``convert_keras_weights`` for a model DESERIALIZED from disk
+    (``tpuseg import-keras``): reconstructs the creation order from
+    auto-name counters / name anchors (``infer_creation_order``) instead
+    of a live ``KerasCreationRecorder``."""
+    forder = flax_call_order(model, sample, **apply_kwargs)
+    order = infer_creation_order(kmodel, forder,
+                                 backbone_names=backbone_names)
+    return convert_keras_weights(kmodel, model, sample,
+                                 creation_order=order, **apply_kwargs)
+
+
 def _set(tree: dict, path: tp.Tuple[str, ...], leaf_name: str,
          value: np.ndarray) -> None:
     node = tree
@@ -167,10 +311,19 @@ def _set(tree: dict, path: tp.Tuple[str, ...], leaf_name: str,
 
 def convert_keras_weights(kmodel, model, sample: jax.Array,
                           creation_order: tp.Optional[tp.List] = None,
+                          allow_prefix: bool = False,
                           **apply_kwargs) -> dict:
-    """Build a Flax ``variables`` dict carrying the Keras model's weights."""
+    """Build a Flax ``variables`` dict carrying the Keras model's weights.
+
+    ``allow_prefix``: accept a Flax model whose leaves are a strict PREFIX
+    of the Keras stream (still kind-checked per position).  Used for
+    truncated backbones (``max_tap < 5``): both sides build sequentially in
+    the same shared creation order, so truncation only removes a suffix.
+    """
     forder = flax_call_order(model, sample, **apply_kwargs)
     kstream = keras_weight_stream(kmodel, creation_order)
+    if allow_prefix and len(forder) < len(kstream):
+        kstream = kstream[:len(forder)]
     if len(forder) != len(kstream):
         raise ValueError(
             f"layer-count mismatch: flax {len(forder)} vs keras "
