@@ -2,9 +2,10 @@
 category breakdown (the profile-first rule's tooling; round-2 profiles
 drove every accepted/rejected optimization).
 
-Usage: python benchmarks/profile_step.py [batch] [remat]
+Usage: python benchmarks/profile_step.py [batch] [remat] [decoder] [width]
 Writes the trace under /tmp/tpuseg_profile and prints ms/step by fused-op
-category.
+category.  ``decoder`` (default UNetPP) profiles any SegModel family at
+its zoo config (e.g. MultiResUNet, UNet3P — the round-4 targets).
 """
 import collections
 import glob
@@ -36,9 +37,11 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     remat = sys.argv[2] if len(sys.argv) > 2 else "dots"
+    decoder = sys.argv[3] if len(sys.argv) > 3 else "UNetPP"
+    width = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     size = 256
     steps = 3
-    model = SegModel(decoder_name="UNetPP", model_width=32, model_depth=4,
+    model = SegModel(decoder_name=decoder, model_width=width, model_depth=4,
                      output_nums=1, final_activation="sigmoid",
                      dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
