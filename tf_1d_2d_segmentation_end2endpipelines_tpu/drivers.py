@@ -109,11 +109,35 @@ def _restore_trainer(cfg: TrainConfig, ckpt_dir: str, action: str,
     return model, trainer
 
 
+def _check_pipeline_parallel(cfg):
+    """Reject ``pipeline_parallel > 1`` loudly (the key is API-only).
+
+    Called from ``_training_mesh`` (library users) AND from the drivers'
+    pre-artifact validation blocks, so a CLI user sees this before any
+    dataset scan or persisted config — not after the fold loop starts."""
+    if getattr(cfg, "pipeline_parallel", 1) > 1:
+        raise ValueError(
+            "pipeline_parallel > 1: GPipe pipeline parallelism is "
+            "API-only in this framework.  It fits HOMOGENEOUS block "
+            "stacks (repeated same-shape blocks), and no INI-reachable "
+            "model has one long enough to beat the (S-1)/(M+S-1) "
+            "pipeline bubble: the dense_loop bottleneck and ConvMixer "
+            "nodes repeat only 1-3 blocks, and the U-decoders' skip "
+            "connections cross every would-be stage boundary.  Scale "
+            "with model_parallel (tensor), spatial_parallel "
+            "(sequence/halo), and zero1 instead — they compose "
+            "(docs/SCALING.md).  For custom homogeneous stacks, use "
+            "tf_1d_2d_segmentation_end2endpipelines_tpu.parallel."
+            "pipeline.pipeline_apply directly "
+            "(examples/pipeline_parallel.py).")
+
+
 def _training_mesh(cfg):
     """The mesh the INI requests: None (Trainer's dp-over-all-devices
     default) unless ``model_parallel`` > 1 (tensor-parallel 'model' axis)
     or ``spatial_parallel`` > 1 (GSPMD H/L-axis partitioning, 'spatial'
     axis); shared by the 2D and 1D train drivers."""
+    _check_pipeline_parallel(cfg)
     model = getattr(cfg, "model_parallel", 1)
     spatial = getattr(cfg, "spatial_parallel", 1)
     if model > 1 or spatial > 1:
@@ -150,6 +174,7 @@ def train(config_path: str = "Train_Configs.ini",
     # validate BEFORE any artifact is written: a run that can never
     # start must not leave a persisted config for a later `test` to
     # rebuild from
+    _check_pipeline_parallel(cfg)
     if cfg.augment_device and cfg.patchify:
         # the host path augments the WHOLE image before patchify
         # (PrefetchLoader._load_one); after the loader, only patches

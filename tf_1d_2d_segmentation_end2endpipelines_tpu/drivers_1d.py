@@ -155,6 +155,9 @@ def train_1d(config_path: str = "Signal_Configs.ini",
     """Train on a .pt signal set (notebook cells 35-49).  Returns the
     history dict."""
     cfg = config if config is not None else load_signal_config(config_path)
+    # validate before any artifact is written (mirrors drivers.train)
+    from .drivers import _check_pipeline_parallel
+    _check_pipeline_parallel(cfg)
     if cfg.save_dir:
         os.makedirs(cfg.save_dir, exist_ok=True)
         # persist the model-defining config with the artifacts so a

@@ -20,6 +20,7 @@ live Keras session.  This module is the TPU-native serving path:
 """
 from __future__ import annotations
 
+import http.server
 import io
 import json
 import os
@@ -364,6 +365,26 @@ class _ServerMetrics:
         return ("\n".join(lines) + "\n").encode()
 
 
+class _DrainingHTTPServer(http.server.ThreadingHTTPServer):
+    """ThreadingHTTPServer whose ``server_close()`` joins in-flight
+    handler threads on EVERY supported Python.
+
+    The drain contract (shutdown() stops accepting; server_close()
+    blocks until every accepted request is answered; only then is the
+    DynamicBatcher closed — _serve_until_stopped) rests on
+    ``ThreadingMixIn.server_close()`` joining the handler threads.  On
+    Python >= 3.12 block_on_close tracks ALL handler threads, so stock
+    ``ThreadingHTTPServer`` already drains; on 3.7-3.11 only NON-daemon
+    threads were tracked, and the stock class (daemon_threads=True)
+    joined nothing — a SIGTERM drain could tear the batcher down under
+    a mid-predict request.  Pinning daemon_threads=False makes the
+    contract version-independent and keeps handlers alive through
+    interpreter shutdown.  Enforced end-to-end (gated in-flight batch +
+    queued requests behind it) by tests/test_serve_soak.py."""
+
+    daemon_threads = False
+
+
 def _make_handler(info: tp.Dict[str, tp.Any],
                   decode: tp.Callable[[bytes, tp.Mapping], np.ndarray],
                   predict_one: tp.Callable[[np.ndarray], np.ndarray],
@@ -529,7 +550,7 @@ def make_server(train_cfg, ckpt_dir: str, host: str = "127.0.0.1",
         predict_one=(batcher.predict if batcher is not None
                      else lambda x: predictor(x[None])[0]),
         respond=_respond)
-    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    server = _DrainingHTTPServer((host, port), Handler)
     server.batcher = batcher  # close() on teardown if you own the server
     return server
 
@@ -601,7 +622,7 @@ def make_server_1d(cfg, host: str = "127.0.0.1", port: int = 8000,
         respond=lambda pred: (json.dumps(
             {"output": np.asarray(pred, np.float64).tolist()}).encode(),
             "application/json"))
-    server = http.server.ThreadingHTTPServer((host, port), Handler)
+    server = _DrainingHTTPServer((host, port), Handler)
     server.batcher = batcher
     return server
 
@@ -630,8 +651,10 @@ def _serve_until_stopped(server) -> None:
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
         # order matters: server_close() JOINS in-flight handler threads
-        # (block_on_close) so batched requests already in predict finish
-        # BEFORE the batcher worker is torn down
+        # (_DrainingHTTPServer: non-daemon handlers, which ThreadingMixIn
+        # tracks and joins — stock ThreadingHTTPServer joins NOTHING) so
+        # batched requests already in predict finish BEFORE the batcher
+        # worker is torn down
         server.server_close()
         if getattr(server, "batcher", None) is not None:
             server.batcher.close()

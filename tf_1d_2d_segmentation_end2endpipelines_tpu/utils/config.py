@@ -96,6 +96,16 @@ class TrainConfig:
     # numbers as pure dp (tests/test_spatial_train.py), for images too
     # tall for one chip's HBM.  Composes with model_parallel
     spatial_parallel: int = 1
+    # pipeline parallelism (GPipe, parallel.pipeline) is API-ONLY: it
+    # fits homogeneous block stacks, and no model this INI can request
+    # has one long enough to beat its (S-1)/(M+S-1) bubble — the zoo's
+    # repeated chains are 1-3 blocks (dense_loop bottleneck, ConvMixer's
+    # 2-block nodes) and the U-decoders' stage interfaces are
+    # heterogeneous (skips cross every would-be stage boundary).  Any
+    # value > 1 is a loud error at mesh build naming the supported
+    # shapes; scale with model_parallel / spatial_parallel / zero1
+    # instead.  See docs/SCALING.md and examples/pipeline_parallel.py.
+    pipeline_parallel: int = 1
     # exact resume: every epoch ends with a full-state 'last' checkpoint
     # (weights + optimizer moments + epoch + history + callback
     # counters) and a SIGTERM (pod preemption / scheduler kill) saves
@@ -267,6 +277,8 @@ class Signal1DConfig:
     # L axis over devices — sequence parallelism for signals too long for
     # one chip (GSPMD partitions the convs; same numbers as pure dp)
     zero1: bool = False      # ZeRO-1 opt-state sharding (see TrainConfig)
+    pipeline_parallel: int = 1  # API-only; >1 errors loudly (see
+    # TrainConfig.pipeline_parallel and docs/SCALING.md)
     exact_resume: bool = False   # preemption-safe exact resume
     # (per-epoch full-state 'last' checkpoint + SIGTERM save; see
     # TrainConfig.exact_resume)
