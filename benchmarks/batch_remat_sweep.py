@@ -8,7 +8,7 @@ throughput keeps scaling with batch past the plateau.
 
 Usage: python benchmarks/batch_remat_sweep.py [variant ...]
   variant = "<batch>:<mode>[:<model>[:<accum>]]" with mode in {plain,
-  dots, full, bf16mu}, model in {unetpp (default), unet, unete, unetp,
+  dots, full, conv_outs, blockremat, bf16mu}, model in {unetpp (default), unet, unete, unetp,
   multires, agunet, unet3p, effb0, unet1d, bcdunet, sedunet}; accum =
   gradient-accumulation microbatch count (batch is the TOTAL effective
   batch, split into accum microbatches)
@@ -29,8 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 MODELS_1D = ("unet1d", "bcdunet", "sedunet")
 
 
-def _build_model(name: str, dtype):
+def _build_model(name: str, dtype, block_remat: bool = False):
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
+    import functools
+    if block_remat:
+        SegModel = functools.partial(SegModel, block_remat=True)
     if name in MODELS_1D:
         from tf_1d_2d_segmentation_end2endpipelines_tpu.models import (
             BCDUNet, SEDUNet, UNet1D)
@@ -90,7 +93,8 @@ def run(batch: int, mode: str, model_name: str = "unetpp",
         make_train_step)
 
     size = 256
-    model = _build_model(model_name, jnp.bfloat16)
+    model = _build_model(model_name, jnp.bfloat16,
+                         block_remat=mode == "blockremat")
 
     rng = np.random.default_rng(0)
     if model_name in MODELS_1D:
@@ -113,7 +117,7 @@ def run(batch: int, mode: str, model_name: str = "unetpp",
     # the shipped train path); remat modes map straight onto its arg
     train_step = make_train_step(
         model, optimizer, get_loss(loss_name),
-        remat=mode if mode in ("dots", "full") else None,
+        remat=mode if mode in ("dots", "full", "conv_outs") else None,
         accum_steps=accum)
     step = jax.jit(train_step, donate_argnums=(0,))
     b = shard_batch(mesh, {"x": x, "y": y})

@@ -86,6 +86,7 @@ def _build_model(cfg: TrainConfig, dtype=None):
         final_activation=cfg.final_activation,
         train_mode=cfg.train_mode,
         is_base_model_trainable=cfg.encoder_trainable,
+        block_remat=cfg.remat == "blocks",
         dtype=dtype,
     )
 
@@ -295,7 +296,9 @@ def train(config_path: str = "Train_Configs.ini",
             num_classes=max(cfg.class_number + 1, 2),
             mesh=mesh,
             seed=cfg.seed,
-            remat=cfg.remat or None,
+            # 'blocks' remats inside the model (block_remat above), so the
+            # step itself runs un-rematted
+            remat=(cfg.remat or None) if cfg.remat != "blocks" else None,
             accum_steps=cfg.accumulation_steps,
             ema_decay=cfg.ema_decay,
             zero1=cfg.zero1,

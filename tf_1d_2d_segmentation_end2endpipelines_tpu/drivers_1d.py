@@ -158,6 +158,11 @@ def train_1d(config_path: str = "Signal_Configs.ini",
     # validate before any artifact is written (mirrors drivers.train)
     from .drivers import _check_pipeline_parallel
     _check_pipeline_parallel(cfg)
+    if cfg.remat == "blocks":
+        raise ValueError(
+            "remat = blocks is 2D-only (SegModel block_remat); for 1D use "
+            "remat = conv_outs, which saves the same set of conv outputs "
+            "via a whole-step jax.checkpoint")
     if cfg.save_dir:
         os.makedirs(cfg.save_dir, exist_ok=True)
         # persist the model-defining config with the artifacts so a

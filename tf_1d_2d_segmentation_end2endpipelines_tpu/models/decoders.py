@@ -45,6 +45,7 @@ from ..ops import (
     TransConv,
     concat,
     downsample_pool,
+    maybe_remat,
     upsample,
 )
 
@@ -84,6 +85,7 @@ class _DecoderBase(nn.Module):
     node: str = "conv"
     dialect: str = "2d"
     merge: str = "concat"  # 'add' = LinkNet-style add-merge (linknet.py:123)
+    block_remat: bool = False  # per-block remat (ops.blocks.remat_block)
     dtype: Dtype = jnp.float32
 
     def _merge(self, *tensors: jax.Array) -> jax.Array:
@@ -111,37 +113,41 @@ class _DecoderBase(nn.Module):
 
     def _node_block(self, x: jax.Array, features: int, train: bool
                     ) -> jax.Array:
+        MRB = maybe_remat(MultiResBlock, self.block_remat)
+        RCB = maybe_remat(RecurrentConvBlock, self.block_remat)
+        CMB = maybe_remat(ConvMixerBlock, self.block_remat)
+        CB = maybe_remat(ConvBlock, self.block_remat)
         if self.node in ("multires", "multires_mixer"):
             if self.dialect == "1d":
-                return MultiResBlock(self.model_width, self.kernel,
-                                     alpha=self.alpha,
-                                     multiplier=features // self.model_width,
-                                     mixer=self.node == "multires_mixer",
-                                     dtype=self.dtype)(x, train)
-            return MultiResBlock(features, self.kernel, alpha=self.alpha,
-                                 mixer=self.node == "multires_mixer",
-                                 dtype=self.dtype)(x, train)
+                return MRB(self.model_width, self.kernel,
+                           alpha=self.alpha,
+                           multiplier=features // self.model_width,
+                           mixer=self.node == "multires_mixer",
+                           dtype=self.dtype)(x, train)
+            return MRB(features, self.kernel, alpha=self.alpha,
+                       mixer=self.node == "multires_mixer",
+                       dtype=self.dtype)(x, train)
         if self.node == "recurrent":
             for _ in range(self.conv_repeats):
-                x = RecurrentConvBlock(features, self.kernel, t=self.t,
-                                       dtype=self.dtype)(x, train)
+                x = RCB(features, self.kernel, t=self.t,
+                        dtype=self.dtype)(x, train)
             return x
         if self.node == "r2":
-            raw = ConvBlock(features, 1, dtype=self.dtype)(x, train)
+            raw = CB(features, 1, dtype=self.dtype)(x, train)
             out = x
             for _ in range(self.conv_repeats):
-                out = RecurrentConvBlock(features, self.kernel, t=self.t,
-                                         dtype=self.dtype)(out, train)
+                out = RCB(features, self.kernel, t=self.t,
+                          dtype=self.dtype)(out, train)
             return raw + out
         if self.node == "convmixer":
             out = x
             for _ in range(self.conv_repeats):
-                out = ConvMixerBlock(features, self.kernel,
-                                     dtype=self.dtype)(out, train)
+                out = CMB(features, self.kernel,
+                          dtype=self.dtype)(out, train)
             return out
         out = x
         for _ in range(self.conv_repeats):
-            out = ConvBlock(features, self.kernel, dtype=self.dtype)(out, train)
+            out = CB(features, self.kernel, dtype=self.dtype)(out, train)
         return out
 
     def _ds_head(self, x: jax.Array, level: int,
@@ -297,8 +303,9 @@ class GridDecoder(_DecoderBase):
                     for m in range(1, i - 1):
                         tmp = deconvs_skip[m]
                         if self.variant == "AH":
-                            tmp = ResPath(j, W, self.kernel,
-                                          dtype=self.dtype)(tmp, train)
+                            tmp = maybe_remat(ResPath, self.block_remat)(
+                                j, W, self.kernel,
+                                dtype=self.dtype)(tmp, train)
                         tmp = self._resize(tmp, 2 ** (i - m))
                         # 1D UNet4P concats the skip paths ungated (the 2D
                         # tree sigmoid-gates them, unet_variants.py:444)
@@ -354,8 +361,9 @@ class FullScaleDecoder(_DecoderBase):
             if j > 0:
                 for m in range(0, j):
                     if self.multires:
-                        d = ResPath(j, W, self.kernel,
-                                    dtype=self.dtype)(deconvs[m], train)
+                        d = maybe_remat(ResPath, self.block_remat)(
+                            j, W, self.kernel,
+                            dtype=self.dtype)(deconvs[m], train)
                     elif self.node == "r2":
                         # reference chains two recurrents but the second
                         # re-reads deconvs[m], so one contributes; replicate

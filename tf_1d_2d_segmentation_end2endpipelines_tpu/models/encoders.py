@@ -21,6 +21,7 @@ from ..ops import (
     ResPath,
     concat,
     downsample_pool,
+    maybe_remat,
 )
 
 Dtype = tp.Any
@@ -40,6 +41,7 @@ class ScratchEncoder(nn.Module):
     model_depth: int
     alpha: float = 1.0
     q: int = 3
+    block_remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,17 +50,20 @@ class ScratchEncoder(nn.Module):
         D = self.model_depth
         W = self.model_width
         name = self.decoder_name
+        MRB = maybe_remat(MultiResBlock, self.block_remat)
+        RP = maybe_remat(ResPath, self.block_remat)
+        CB = maybe_remat(ConvBlock, self.block_remat)
         taps: tp.List[jax.Array] = []
         pool = x
         conv = x
         if name in ("MultiResUNet", "MultiResUNet3P"):
             for i in range(1, D + 2):
-                conv = MultiResBlock(W * (2 ** (i - 1)), 3, alpha=self.alpha,
-                                     dtype=self.dtype)(pool, train)
+                conv = MRB(W * (2 ** (i - 1)), 3, alpha=self.alpha,
+                           dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
                 if i <= D:
-                    taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
-                                        dtype=self.dtype)(conv, train))
+                    taps.append(RP(D - i + 1, W * (2 ** (i - 1)), 3,
+                                   dtype=self.dtype)(conv, train))
                 else:
                     # the (D+1)-th tap is replaced by the latent output; its
                     # ResPath is dangling in the reference's Keras graph
@@ -69,11 +74,11 @@ class ScratchEncoder(nn.Module):
                     for k in range(1, i):
                         g = downsample_pool(taps[k - 1], 2 ** (i - k), op="max")
                         pool = concat(pool, nn.sigmoid(g))
-                conv = MultiResBlock(W * (2 ** (i - 1)), 3, alpha=self.alpha,
-                                     dtype=self.dtype)(pool, train)
+                conv = MRB(W * (2 ** (i - 1)), 3, alpha=self.alpha,
+                           dtype=self.dtype)(pool, train)
                 if i <= D:
-                    taps.append(ResPath(D - i + 1, W * (2 ** (i - 1)), 3,
-                                        dtype=self.dtype)(conv, train))
+                    taps.append(RP(D - i + 1, W * (2 ** (i - 1)), 3,
+                                   dtype=self.dtype)(conv, train))
                 else:
                     taps.append(conv)  # dangling ResPath skipped (see above)
                 pool = downsample_pool(conv, 2, op="max")
@@ -83,10 +88,10 @@ class ScratchEncoder(nn.Module):
                     for k in range(1, i):
                         g = taps[k - 1]
                         if name == "AHNet":
-                            g = ResPath(D - k, W, 3, dtype=self.dtype)(g, train)
+                            g = RP(D - k, W, 3, dtype=self.dtype)(g, train)
                         g = downsample_pool(g, 2 ** (i - k), op="max")
                         pool = concat(pool, nn.sigmoid(g))
-                conv = ConvBlock(W * (2 ** (i - 1)), 3, dtype=self.dtype)(pool, train)
+                conv = CB(W * (2 ** (i - 1)), 3, dtype=self.dtype)(pool, train)
                 taps.append(conv)
                 pool = downsample_pool(conv, 2, op="max")
         elif name.startswith("Self"):
@@ -97,7 +102,7 @@ class ScratchEncoder(nn.Module):
                 taps.append(conv)
         else:
             for i in range(1, D + 2):
-                conv = ConvBlock(W * (2 ** (i - 1)), 3, dtype=self.dtype)(pool, train)
+                conv = CB(W * (2 ** (i - 1)), 3, dtype=self.dtype)(pool, train)
                 pool = downsample_pool(conv, 2, op="max")
                 taps.append(conv)
         # bottom is the raw deepest conv (reference returns `conv`, not the
@@ -115,6 +120,7 @@ class LatentLayer(nn.Module):
     alpha: float = 1.0
     q: int = 3
     dense_loop: int = 1
+    block_remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -122,13 +128,13 @@ class LatentLayer(nn.Module):
         feats = self.model_width * (2 ** self.model_depth)
         name = self.decoder_name
         if name in ("MultiResUNet", "MultiResUNet3P", "KSSNet"):
-            return MultiResBlock(feats, 3, alpha=self.alpha,
-                                 dtype=self.dtype)(x, train)
+            return maybe_remat(MultiResBlock, self.block_remat)(
+                feats, 3, alpha=self.alpha, dtype=self.dtype)(x, train)
         if name.startswith("Self"):
             return OperationalDenseBlock(feats, 3, num_layers=self.dense_loop,
                                          q=self.q, dtype=self.dtype)(x)
-        return DenseBlock(feats, 3, num_layers=self.dense_loop,
-                          dtype=self.dtype)(x, train)
+        return maybe_remat(DenseBlock, self.block_remat)(
+            feats, 3, num_layers=self.dense_loop, dtype=self.dtype)(x, train)
 
 
 class PretrainedTapProjector(nn.Module):

@@ -64,6 +64,13 @@ class SegModel(nn.Module):
     train_mode: str = "from_scratch"
     backbone: tp.Optional[str] = None
     backbone_trainable: bool = False
+    #: per-block rematerialization (INI ``remat = blocks``): wrap the hot
+    #: block classes in flax remat with the conv_outs policy — saves conv
+    #: (MXU) outputs, recomputes the elementwise tail in backward.  Param
+    #: naming is unchanged (ops.blocks.remat_block), so checkpoints are
+    #: interchangeable with block_remat off.  See remat_block's docstring
+    #: for the measured compile-helper limits on the axon tunnel.
+    block_remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self) -> None:
@@ -120,7 +127,7 @@ class SegModel(nn.Module):
         else:
             all_taps, bottom = ScratchEncoder(
                 self.decoder_name, W, D, alpha=self.alpha, q=self.q,
-                dtype=self.dtype)(x, train)
+                block_remat=self.block_remat, dtype=self.dtype)(x, train)
             taps = all_taps[:D]
 
         # ---- latent (UNet genre only: unet_variants.py:1095 vs
@@ -129,6 +136,7 @@ class SegModel(nn.Module):
         if self.genre != "FPN":
             conv = LatentLayer(self.decoder_name, W, D, alpha=self.alpha,
                                q=self.q, dense_loop=self.dense_loop,
+                               block_remat=self.block_remat,
                                dtype=self.dtype)(conv, train)
         if self.ae == 1:
             conv = FeatureExtractionBlock(W * (2 ** D), self.feature_number,
@@ -139,7 +147,8 @@ class SegModel(nn.Module):
         decoder = build_decoder(
             self.decoder_name, model_width=W, model_depth=D, D_S=self.ds,
             A_G=self.ag, LSTM=self.lstm, is_transconv=self.is_transconv,
-            alpha=self.alpha, q=self.q, dtype=self.dtype)
+            alpha=self.alpha, q=self.q, block_remat=self.block_remat,
+            dtype=self.dtype)
         deconv, levels = decoder(skips, train)
 
         # ---- output head ----
@@ -183,6 +192,7 @@ def model_selector(
     final_activation: str = "sigmoid",
     train_mode: str = "from_scratch",
     is_base_model_trainable: bool = False,
+    block_remat: bool = False,
     dtype: Dtype = jnp.float32,
 ) -> SegModel:
     """String-dispatch factory mirroring the reference ``model_selector``
@@ -213,5 +223,6 @@ def model_selector(
         train_mode=train_mode,
         backbone=backbone,
         backbone_trainable=is_base_model_trainable,
+        block_remat=block_remat,
         dtype=dtype,
     )

@@ -23,8 +23,52 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = tp.Any
+
+_REMAT_BLOCK_CACHE: tp.Dict[type, type] = {}
+
+
+def remat_block(cls: type) -> type:
+    """Per-block rematerialization wrapper (``block_remat`` model flag).
+
+    Returns ``cls`` wrapped in ``flax.linen.remat`` with the ``conv_outs``
+    policy: the block's conv outputs (tagged ``checkpoint_name('conv_out')``
+    below) are saved for the backward pass, the elementwise tail (BN-apply,
+    activations, concats) is recomputed.  Compared to a whole-graph
+    ``jax.checkpoint`` in the train step (``remat='dots'``), this produces
+    many small remat regions instead of one doubled graph.
+
+    Measured on the axon remote-compile tunnel (benchmarks/RESULTS.json,
+    'remat modes' note): the per-block form does NOT get past the tunnel's
+    compile helper at the zoo batches (b96/b128 MultiResUNet/UNet++ both
+    crash it, same as whole-graph 'dots' at b136+) — on this host it is a
+    numerics-verified memory tool, not a measured win.  Hosts with a local
+    XLA compiler may behave differently; keep it opt-in.
+
+    Param naming parity: the wrapped class keeps ``cls.__name__`` so flax
+    auto-naming produces identical scopes — checkpoints are interchangeable
+    between ``block_remat`` on/off (verified bit-identical init + grads).
+
+    Only valid for blocks with a ``__call__(self, x, train)`` signature
+    (``train`` is static arg 2).
+    """
+    try:
+        return _REMAT_BLOCK_CACHE[cls]
+    except KeyError:
+        pass
+    wrapped = nn.remat(
+        cls, static_argnums=(2,),
+        policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+    wrapped.__name__ = cls.__name__
+    _REMAT_BLOCK_CACHE[cls] = wrapped
+    return wrapped
+
+
+def maybe_remat(cls: type, enabled: bool) -> type:
+    """``remat_block(cls)`` when ``enabled`` else ``cls``."""
+    return remat_block(cls) if enabled else cls
 
 # Keras's LeakyReLU layer / "LeakyReLU" activation default slope; the
 # reference leaves it at the default (trans_conv2D, unet_variants.py:17).
@@ -171,6 +215,9 @@ class ConvBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x)
+        # saveable under remat='conv_outs' (train/state.py): keep the MXU
+        # results, recompute BN-apply/activation in the backward pass
+        x = checkpoint_name(x, "conv_out")
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -325,6 +372,7 @@ class TransConv(nn.Module):
             # converter) is identical under either implementation
             name="ConvTranspose_0",
         )(x)
+        x = checkpoint_name(x, "conv_out")
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -68,13 +68,19 @@ def _as_target_dict(y) -> tp.Dict[str, jax.Array]:
     return {"out": y}
 
 
-#: remat policies by name: 'dots' saves only MXU (conv/matmul) results and
-#: recomputes everything else in the backward pass; 'full' saves nothing.
-#: On v5e, 'dots' shrinks live activation memory enough to raise the
-#: flagship UNet++ 256² bf16 batch from 56 to 128 — 270 -> 450 img/s/chip
-#: (benchmarks/batch_remat_sweep.py) — because step time plateaus with
-#: batch while throughput keeps scaling.
-REMAT_POLICIES = {"dots": "checkpoint_dots", "full": "nothing_saveable"}
+#: remat policies by name:
+#: - 'dots' saves only dot_general results — in a conv net (convolutions are
+#:   NOT dots) that is essentially nothing, so the whole forward is
+#:   recomputed in the backward pass.  On v5e it shrinks live activation
+#:   memory enough to raise the flagship UNet++ 256² bf16 batch from 56 to
+#:   128 — 270 -> 450 img/s/chip (benchmarks/batch_remat_sweep.py).
+#: - 'conv_outs' saves exactly the MXU results (every ConvBlock/TransConv
+#:   output carries ``checkpoint_name(x, 'conv_out')``, ops/blocks.py) and
+#:   recomputes the cheap elementwise tail (BN-apply, activations, concats,
+#:   pooling) in the backward pass — the true dots-equivalent for conv nets.
+#: - 'full' saves nothing.
+REMAT_POLICIES = {"dots": "checkpoint_dots", "full": "nothing_saveable",
+                  "conv_outs": ("save_only_these_names", ("conv_out",))}
 
 
 def _remat_policy(name: tp.Optional[str]):
@@ -85,13 +91,15 @@ def _remat_policy(name: tp.Optional[str]):
     except KeyError:
         raise ValueError(f"unknown remat policy {name!r}; "
                          f"expected one of {sorted(REMAT_POLICIES)}")
+    attr, factory_args = attr if isinstance(attr, tuple) else (attr, None)
     try:
-        return getattr(jax.checkpoint_policies, attr)
+        policy = getattr(jax.checkpoint_policies, attr)
     except AttributeError:
         raise ValueError(
             f"this jax version ({jax.__version__}) has no "
             f"jax.checkpoint_policies.{attr}; remat policy {name!r} "
             f"is unavailable here")
+    return policy(*factory_args) if factory_args is not None else policy
 
 
 def make_train_step(

@@ -73,9 +73,14 @@ class TrainConfig:
     # the TPU performance mode (activations bf16, params/BN stats f32 —
     # see docs/SCALING.md); float32 matches the reference's numerics
     compute_dtype: str = "float32"
-    # remat ('', 'dots', 'full'): rematerialize the forward under
-    # jax.checkpoint — exact same numbers, less activation memory, larger
-    # feasible batches (new capability; see train.state.REMAT_POLICIES)
+    # remat ('', 'dots', 'conv_outs', 'full', 'blocks'): rematerialize
+    # the forward — exact same numbers, less activation memory, larger
+    # feasible batches (new capability).  'dots'/'conv_outs'/'full' wrap
+    # the whole forward in jax.checkpoint with that policy
+    # (train.state.REMAT_POLICIES); 'blocks' instead wraps each hot block
+    # module in flax remat with the conv_outs policy (2D only —
+    # ops.blocks.remat_block; see its docstring for the measured
+    # compile-helper limits on the axon tunnel)
     remat: str = ""
     # gradient accumulation: each loader batch of `batch_size` is split
     # into `accumulation_steps` microbatches of batch_size/steps, with ONE
@@ -269,7 +274,8 @@ class Signal1DConfig:
     save_dir: str = "Results_1D"
     seed: int = 1
     compute_dtype: str = "float32"
-    remat: str = ""          # '', 'dots', 'full' (see TrainConfig.remat)
+    remat: str = ""          # '', 'dots', 'conv_outs', 'full' (see
+    # TrainConfig.remat; 'blocks' is 2D-only and rejected here)
     accumulation_steps: int = 1  # microbatch split of batch_size
     # (batch_size stays the TOTAL effective batch; see TrainConfig)
     model_parallel: int = 1  # mesh 'model' axis size (see TrainConfig)
