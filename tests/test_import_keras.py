@@ -25,6 +25,15 @@ from test_parity_pretrained import no_imagenet  # noqa: F401 (fixture)
 
 tf = pytest.importorskip("tensorflow")
 
+# regression-frozen proof fixtures (train a real Keras model, then import):
+# out of the default lane, run with TPUSEG_FULL_TESTS=1 at session boundaries
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.environ.get("TPUSEG_FULL_TESTS"),
+                       reason="Keras-build import fixture "
+                              "(set TPUSEG_FULL_TESTS=1)"),
+]
+
 from tf_1d_2d_segmentation_end2endpipelines_tpu.drivers import (  # noqa: E402
     import_keras, test as run_test)
 from tf_1d_2d_segmentation_end2endpipelines_tpu.utils.config import (  # noqa: E402

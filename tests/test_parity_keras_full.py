@@ -5,6 +5,7 @@ Default-on for one representative of each family; builds the actual
 reference models from /root/reference with converted weights.
 """
 import importlib
+import os
 import sys
 
 import numpy as np
@@ -13,6 +14,16 @@ import pytest
 from test_parity_keras import REF_1D, REF_2D, _compare, ref_modules  # noqa
 
 tf = pytest.importorskip("tensorflow")
+
+# regression-frozen proof fixtures (full Keras graph builds, ~minutes of TF
+# compile each): out of the default lane, run with TPUSEG_FULL_TESTS=1 at
+# session boundaries (see PROGRESS.md runbook)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.environ.get("TPUSEG_FULL_TESTS"),
+                       reason="Keras-build parity fixture "
+                              "(set TPUSEG_FULL_TESTS=1)"),
+]
 
 
 def _rec():

@@ -4,6 +4,7 @@ ConvMixerUNet, Dense-Inception, AlbuNet, 1D FPN, the 2D ConvLSTM
 fusion branch, and the A_E Feature_Extraction path.  <1e-4 vs the
 actual Keras reference, default-on."""
 import importlib
+import os
 import sys
 
 import numpy as np
@@ -12,6 +13,15 @@ import pytest
 from test_parity_keras import REF_1D, REF_2D, _compare, ref_modules  # noqa
 
 tf = pytest.importorskip("tensorflow")
+
+# regression-frozen proof fixtures (full Keras graph builds): out of the
+# default lane, run with TPUSEG_FULL_TESTS=1 at session boundaries
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.environ.get("TPUSEG_FULL_TESTS"),
+                       reason="Keras-build parity fixture "
+                              "(set TPUSEG_FULL_TESTS=1)"),
+]
 
 
 def _rec():

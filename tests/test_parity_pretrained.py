@@ -16,6 +16,8 @@ the backbone's raw stride-32 tap (unet_variants.py:1076-1087), and for
 depth<5 Keras prunes the encoder stages/projections unreachable from the
 outputs -- the truncated-backbone (max_tap) path.
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -23,6 +25,15 @@ from test_parity_keras import (_compare, _compare_all_heads,  # noqa
                                ref_modules)
 
 tf = pytest.importorskip("tensorflow")
+
+# regression-frozen proof fixtures (full pretrained-backbone Keras builds):
+# out of the default lane, run with TPUSEG_FULL_TESTS=1 at session boundaries
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.environ.get("TPUSEG_FULL_TESTS"),
+                       reason="Keras-build parity fixture "
+                              "(set TPUSEG_FULL_TESTS=1)"),
+]
 
 
 @pytest.fixture()
