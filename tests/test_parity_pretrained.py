@@ -61,7 +61,7 @@ def _rec():
 def _run_case(ref_modules, backbone, decoder, depth, ds=0, width=4,
               tol=1e-4):
     from tf_1d_2d_segmentation_end2endpipelines_tpu.models import SegModel
-    if decoder.startswith("MultiRes"):
+    if decoder.startswith("MultiRes") or decoder == "KSSNet":
         # MultiResBlock widths go through int(W * scale) with scale down to
         # 0.167 (unet_variants.py:85-100): W=4 yields a 0-filter conv that
         # the reference itself rejects -- W=8 is its minimum working width
@@ -92,6 +92,19 @@ CASES = [(bb, dec, d)
          for bb in ("VGG16", "ResNet50", "EfficientNetB0")
          for dec in ("UNet", "UNetPP", "MultiResUNet")
          for d in (3, 5)]
+
+# round-5 verdict item 3: the remaining encoder_block_pretrained_level_*
+# branches (unet_variants.py:795-933) end-to-end — KSSNet's gated
+# MultiRes dense-input, AHNet's ResPath'd gated dense-input (UNet4P
+# covers the same branch without the ResPath), UNet3P's default 1x1
+# projector feeding the full-scale decoder, and the Self-ONN Oper
+# projector.  At depth 3 the bottleneck IS the level-4 projection, so the
+# gated families' dense concat feeds the latent layer directly.
+CASES += [("ResNet50", dec, d)
+          for dec in ("KSSNet", "AHNet", "UNet3P")
+          for d in (3, 5)]
+CASES += [("ResNet50", "UNet4P", 3), ("ResNet50", "SelfUNet", 3),
+          ("ResNet50", "SelfUNetPP", 5)]
 
 
 @pytest.mark.parametrize("backbone,decoder,depth", CASES,
