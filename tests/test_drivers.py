@@ -102,9 +102,17 @@ def test_cli_module_entry(tmp_path):
         load_weights=False)
     ini = tmp_path / "cfg.ini"
     save_train_config(cfg, str(ini))
+    # hand the subprocess the same persistent compile cache the suite
+    # uses (conftest configures it in-process only): without it the
+    # fresh interpreter recompiles ~70s of XLA programs every run and
+    # has been observed to blow the 900s bound under full-sweep load
+    from conftest import _cache
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_COMPILATION_CACHE_DIR=_cache,
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
     proc = subprocess.run(
         [_sys.executable, "-m",
          "tf_1d_2d_segmentation_end2endpipelines_tpu", "train", str(ini)],

@@ -91,6 +91,34 @@ def _build_model(cfg: TrainConfig, dtype=None):
     )
 
 
+def _encoder_init_variables(cfg: TrainConfig, model, sample, resuming: bool):
+    """Converted ImageNet (or local .h5) encoder weights for a fresh
+    pretrained-encoder fold, or None to use random init.
+
+    The reference hardcodes ``weights='imagenet'`` in every
+    keras.applications ctor (unet_variants.py:1057 etc.); here the INI key
+    ``encoder_weights`` selects 'imagenet' (default), a local .h5 path, or
+    'none'.  Resuming folds skip the load — the checkpoint carries the
+    trained weights.
+    """
+    spec = (cfg.encoder_weights or "none").strip()
+    if (cfg.train_mode != "pretrained_encoder" or resuming
+            or spec.lower() == "none"):
+        return None
+    from .utils.pretrained_init import init_segmodel_with_imagenet
+    weights = "imagenet" if spec.lower() == "imagenet" else spec
+    try:
+        return init_segmodel_with_imagenet(model, jnp.asarray(sample),
+                                           weights=weights)
+    except Exception as e:
+        raise RuntimeError(
+            f"encoder_weights = {spec!r} could not be loaded for "
+            f"{cfg.encoder_name}: {e}\nOn a network-less host, pre-cache "
+            "the keras.applications .h5 files under $KERAS_HOME/models "
+            "(see MIGRATION.md 'Offline ImageNet weights') or set "
+            "encoder_weights = none to train from random init.") from e
+
+
 def _restore_trainer(cfg: TrainConfig, ckpt_dir: str, action: str,
                      dtype=None):
     """Build the model + Trainer, init state, restore the 'best'
@@ -311,10 +339,13 @@ def train(config_path: str = "Train_Configs.ini",
                            cfg.imwidth if not cfg.patchify
                            else cfg.patch_height,
                            cfg.num_channels), np.float32)
-        trainer.init_state(sample)
         ckpt_dir = _fold_dir(cfg, fold)
         ckpt = CheckpointManager(ckpt_dir, async_save=True)
-        if cfg.load_weights and ckpt.exists("best"):
+        resuming = cfg.load_weights and ckpt.exists("best")
+        trainer.init_state(
+            sample, variables=_encoder_init_variables(cfg, model, sample,
+                                                      resuming))
+        if resuming:
             # resume (Train.py:361-369)
             trainer.state = ckpt.restore(trainer.state, "best")
             print(f"Fold {fold}: resumed from {ckpt_dir}/best", flush=True)

@@ -49,8 +49,13 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(model, rng: jax.Array, sample_input: jax.Array,
                        optimizer: optax.GradientTransformation,
-                       ema: bool = False) -> TrainState:
-    variables = model.init(rng, sample_input, train=False)
+                       ema: bool = False,
+                       variables: tp.Optional[dict] = None) -> TrainState:
+    # ``variables`` overrides model.init for pre-initialized weights (the
+    # driver's encoder_weights='imagenet' path): EMA/opt-state then start
+    # from the converted params, not a random init
+    if variables is None:
+        variables = model.init(rng, sample_input, train=False)
     params = variables.get("params", {})
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)

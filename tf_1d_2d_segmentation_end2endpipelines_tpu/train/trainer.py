@@ -124,12 +124,17 @@ class Trainer:
         self.history: tp.Dict[str, tp.List[float]] = {}
 
     # ------------------------------------------------------------ plumbing
-    def init_state(self, sample_input: np.ndarray) -> TrainState:
+    def init_state(self, sample_input: np.ndarray,
+                   variables: tp.Optional[dict] = None) -> TrainState:
+        """``variables`` (optional) seeds the state with pre-initialized
+        weights instead of model.init — the pretrained-encoder path
+        (reference hardcodes weights='imagenet', unet_variants.py:1057)."""
         rng = jax.random.PRNGKey(self.seed)
         x = jnp.asarray(sample_input)
         self._sample_input = x[:1]  # kept for NaNGuard re-initialization
         self.state = create_train_state(self.model, rng, x, self.optimizer,
-                                        ema=self.ema_decay > 0)
+                                        ema=self.ema_decay > 0,
+                                        variables=variables)
         return self.state
 
     def _build_steps(self):

@@ -36,6 +36,12 @@ class TrainConfig:
     encoder_mode: str = "from_scratch"   # reference: train_mode
     encoder_name: str = "ResNet50"
     encoder_trainable: bool = False
+    #: pretrained-encoder initial weights: 'imagenet' (keras.applications
+    #: download or local KERAS_HOME cache — the reference hardcodes this,
+    #: unet_variants.py:1057), a local .h5 path, or 'none' (random init).
+    #: Only consulted when encoder_mode = pretrained_encoder and the fold
+    #: is not resuming from a checkpoint.
+    encoder_weights: str = "imagenet"
     decoder_name: str = "UNet"
     model_width: int = 16
     model_depth: int = 5
