@@ -78,7 +78,9 @@ def _build_model(name: str, dtype, block_remat: bool = False):
 
 
 def run(batch: int, mode: str, model_name: str = "unetpp",
-        accum: int = 1) -> dict:
+        accum: int = 1, cost_only: bool = None) -> dict:
+    """``cost_only`` is not None -> also attach the compiled executable's
+    XLA cost analysis under '_cost' (benchmarks/roofline.py)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -130,10 +132,15 @@ def run(batch: int, mode: str, model_name: str = "unetpp",
         state, loss, _ = step(state, b["x"], b["y"], ())
     assert np.isfinite(float(loss))
     dt = time.perf_counter() - t0
-    return {"model": model_name, "batch": batch, "mode": mode,
-            "accum": accum,
-            "ips_per_chip": round(batch * iters / dt, 2),
-            "step_ms": round(dt / iters * 1e3, 2)}
+    out = {"model": model_name, "batch": batch, "mode": mode,
+           "accum": accum,
+           "ips_per_chip": round(batch * iters / dt, 2),
+           "step_ms": round(dt / iters * 1e3, 2)}
+    if cost_only is not None:
+        cost = step.lower(state, b["x"], b["y"], ()).compile(
+            ).cost_analysis()
+        out["_cost"] = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return out
 
 
 def main():
