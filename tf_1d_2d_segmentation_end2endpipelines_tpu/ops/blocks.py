@@ -579,11 +579,148 @@ class AttentionGate(nn.Module):
         return skip * (r1 + r2)
 
 
+# --- Packed dual-conv execution (MultiRes family) --------------------------
+# MultiResBlock and every ResPath unit issue TWO convs over the SAME input:
+# the 1x1 shortcut and the kxk main/branch conv (reference MultiResBlock /
+# ResPath, unet_variants.py:85-122).  The family is HBM-traffic-bound on TPU
+# (benchmarks/RESULTS.json roofline_b128_plain: MultiResUNet moves 2x the
+# flagship's bytes at half the FLOPs, hbm_util 0.80), so the pair is merged
+# into ONE conv: the 1x1 kernel is zero-embedded at the kxk center and the
+# output channels are concatenated.  This halves the input reads and merges
+# the two backward input-grad convs, at the cost of 9x the (cheap) shortcut
+# FLOPs.  MEASURED AND REJECTED as a default on the real chip (v5e,
+# MultiResUNet 256^2 bf16 b128 plain: 335.42 packed vs 345.78 unpacked
+# img/s/chip — benchmarks/RESULTS.json roofline note): XLA already lowers
+# the 1x1 shortcut as a cheap matmul, so the merge buys no HBM passes and
+# pays the extra MXU work.  Kept opt-in (TPUSEG_PACK_DUAL=1) so the A/B is
+# reproducible and the machinery is available to future layouts.
+# Numerics: zero kernel taps contribute exact zeros and each output channel
+# keeps its own contraction, so the merged conv equals the two separate
+# convs (verified in tests/test_packed_dual.py); BN then runs per channel
+# slice, which is exactly per-branch BN.
+#
+# The parameter tree is bit-identical to the unpacked path: ``_CBShell``
+# twins ConvBlock's scope layout (ConvBlock_n/Conv_0 + BatchNorm_0) and
+# materializes the conv params through a real ``nn.Conv`` call so names,
+# shapes, initializers, and rng fold paths all match — checkpoints are
+# interchangeable and ``pack`` can flip per-build.  Keras-import call-order
+# interception must see the unpacked call sequence; use ``pack_override``
+# around ``flax_call_order`` (utils/keras_compat.py does).
+
+_PACK_OVERRIDE: tp.Optional[bool] = None
+
+
+class pack_override:
+    """Context manager forcing packed execution on/off at trace time."""
+
+    def __init__(self, value: tp.Optional[bool]):
+        self.value = value
+
+    def __enter__(self):
+        global _PACK_OVERRIDE
+        self._prev = _PACK_OVERRIDE
+        _PACK_OVERRIDE = self.value
+        return self
+
+    def __exit__(self, *exc):
+        global _PACK_OVERRIDE
+        _PACK_OVERRIDE = self._prev
+
+
+def _pack_enabled(field: tp.Optional[bool]) -> bool:
+    if _PACK_OVERRIDE is not None:
+        return _PACK_OVERRIDE
+    if field is not None:
+        return field
+    return os.environ.get("TPUSEG_PACK_DUAL", "0") != "0"
+
+
+def _center_embed(kernel: jax.Array, kshape: tp.Tuple[int, ...],
+                  cin_total: int, cin_off: int) -> jax.Array:
+    """Zero-embed ``kernel`` at the spatial center of a ``kshape`` kernel
+    over ``cin_total`` input channels (rows ``cin_off:cin_off+cin``)."""
+    pads = []
+    for t, s in zip(kshape, kernel.shape[:-2]):
+        lo = (t - s) // 2
+        pads.append((lo, t - s - lo))
+    pads.append((cin_off, cin_total - cin_off - kernel.shape[-2]))
+    pads.append((0, 0))
+    return jnp.pad(kernel, pads)
+
+
+def _packed_conv(x: jax.Array, parts, dtype) -> jax.Array:
+    """One SAME conv whose kernel is the output-channel concat of
+    ``parts`` = [(kernel, bias, cin_offset), ...] (smaller spatial kernels
+    zero-embedded at the center).  Matches nn.Conv's promote-to-dtype
+    semantics."""
+    n = _spatial_ndim(x)
+    kshape = tuple(max(p[0].shape[i] for p in parts) for i in range(n))
+    cin = x.shape[-1]
+    K = jnp.concatenate(
+        [_center_embed(k, kshape, cin, off) for k, _, off in parts], axis=-1)
+    b = jnp.concatenate([b for _, b, _ in parts])
+    sp = "DHW"[3 - n:]
+    dn = ("N" + sp + "C", sp + "IO", "N" + sp + "C")
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), K.astype(dtype), (1,) * n, "SAME",
+        dimension_numbers=dn)
+    return y + b.astype(dtype)
+
+
+class _CBShell(nn.Module):
+    """Parameter-tree twin of ``ConvBlock`` for packed execution.
+
+    ``mode='params'``: materialize and return the conv kernel/bias (the
+    params are created through a real 1-pixel ``nn.Conv`` call so init and
+    naming are bit-identical to ConvBlock's; the dummy compute is DCE'd).
+    ``mode='bn_act'``: apply this block's BatchNorm_0 + activation to a
+    pre-BN tensor (the caller's slice of the merged conv output).
+    """
+
+    features: int
+    kernel: tp.Union[int, tuple] = 3
+    activation: tp.Optional[str] = "relu"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 mode: str = "params"):
+        n = _spatial_ndim(x)
+        conv = nn.Conv(
+            self.features,
+            kernel_size=_tup(self.kernel, n),
+            strides=_tup(1, n),
+            padding="SAME",
+            use_bias=self.use_bias,
+            kernel_init=nn.initializers.he_uniform(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        if mode == "params":
+            _ = conv(jnp.zeros((1,) + (1,) * n + (x.shape[-1],), self.dtype))
+            p = conv.variables["params"]
+            return p["kernel"], p["bias"]
+        x = checkpoint_name(x, "conv_out")
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return apply_activation(x, self.activation)
+
+
 class MultiResBlock(nn.Module):
     """MultiRes block: 3 chained convs (0.167/0.333/0.5 * alpha*W) concat +
     1x1 shortcut, add, relu, BN.
 
     Reference: ``MultiResBlock`` (unet_variants.py:85-100).
+
+    ``pack`` (default: env ``TPUSEG_PACK_DUAL``): merge the 1x1 shortcut
+    conv into the first branch conv (same input) — see the packed dual-conv
+    notes above.  Parameter trees are identical either way.
     """
 
     model_width: int
@@ -595,6 +732,7 @@ class MultiResBlock(nn.Module):
     #: callers leave multiplier=1; 1D callers pass base width + multiplier.
     multiplier: int = 1
     mixer: bool = False  # ConvMixer blocks as the conv unit (convmixer_unet.py)
+    pack: tp.Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -607,10 +745,39 @@ class MultiResBlock(nn.Module):
         m = self.multiplier
         f1, f2, f3 = (max(int(w * 0.167), 1) * m, max(int(w * 0.333), 1) * m,
                       max(int(w * 0.5), 1) * m)
+        if not self.mixer and _pack_enabled(self.pack):
+            return self._packed(x, train, f1, f2, f3)
         shortcut = Block(f1 + f2 + f3, 1)(x, train)
         c3 = Block(f1, self.kernel)(x, train)
         c5 = Block(f2, self.kernel)(c3, train)
         c7 = Block(f3, self.kernel)(c5, train)
+        out = jnp.concatenate([c3, c5, c7], axis=-1)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                           epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32)(out)
+        out = relu(shortcut + out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                           epsilon=1e-3, dtype=self.dtype,
+                           param_dtype=jnp.float32)(out)
+        return out
+
+    def _packed(self, x: jax.Array, train: bool,
+                f1: int, f2: int, f3: int) -> jax.Array:
+        """Dual-conv-merged execution: the 1x1 shortcut and the first branch
+        conv share input ``x`` and run as ONE conv (see packed notes above).
+        Parameter tree identical to the unpacked path."""
+        F = f1 + f2 + f3
+        sc = _CBShell(F, 1, dtype=self.dtype, name="ConvBlock_0")
+        br = _CBShell(f1, self.kernel, dtype=self.dtype, name="ConvBlock_1")
+        ks, bs = sc(x, mode="params")
+        k3, b3 = br(x, mode="params")
+        u = _packed_conv(x, [(ks, bs, 0), (k3, b3, 0)], self.dtype)
+        shortcut = sc(u[..., :F], train, mode="bn_act")
+        c3 = br(u[..., F:], train, mode="bn_act")
+        c5 = ConvBlock(f2, self.kernel, dtype=self.dtype,
+                       name="ConvBlock_2")(c3, train)
+        c7 = ConvBlock(f3, self.kernel, dtype=self.dtype,
+                       name="ConvBlock_3")(c5, train)
         out = jnp.concatenate([c3, c5, c7], axis=-1)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                            epsilon=1e-3, dtype=self.dtype,
@@ -630,14 +797,30 @@ class ResPath(nn.Module):
     length: int
     model_width: int
     kernel: tp.Union[int, tuple] = 3
+    pack: tp.Optional[bool] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        packed = _pack_enabled(self.pack)
+        W = self.model_width
         out = x
-        for _ in range(max(self.length, 1)):
-            shortcut = ConvBlock(self.model_width, 1, dtype=self.dtype)(out, train)
-            main = ConvBlock(self.model_width, self.kernel, dtype=self.dtype)(out, train)
+        for i in range(max(self.length, 1)):
+            if packed:
+                # 1x1 shortcut + kxk main share the input: run as ONE conv
+                # (see packed dual-conv notes above); tree-identical.
+                cs = _CBShell(W, 1, dtype=self.dtype,
+                              name=f"ConvBlock_{2 * i}")
+                cm = _CBShell(W, self.kernel, dtype=self.dtype,
+                              name=f"ConvBlock_{2 * i + 1}")
+                ks, bs = cs(out, mode="params")
+                km, bm = cm(out, mode="params")
+                u = _packed_conv(out, [(ks, bs, 0), (km, bm, 0)], self.dtype)
+                shortcut = cs(u[..., :W], train, mode="bn_act")
+                main = cm(u[..., W:], train, mode="bn_act")
+            else:
+                shortcut = ConvBlock(W, 1, dtype=self.dtype)(out, train)
+                main = ConvBlock(W, self.kernel, dtype=self.dtype)(out, train)
             out = relu(shortcut + main)
             out = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                                epsilon=1e-3, dtype=self.dtype,

@@ -82,7 +82,12 @@ def flax_call_order(model, sample: jax.Array, **apply_kwargs
                 order.append(_Leaf(path, kind))
         return next_fn(*args, **kwargs)
 
-    with nn.intercept_methods(interceptor):
+    # packed dual-conv execution (ops/blocks.py) changes the leaf CALL
+    # sequence (conv params are materialized before the sibling BNs run);
+    # force the unpacked call order here — the parameter tree is identical
+    # either way, so the converted weights load into packed builds too.
+    from ..ops.blocks import pack_override
+    with pack_override(False), nn.intercept_methods(interceptor):
         jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0), sample, **apply_kwargs))
     return order
