@@ -8,8 +8,11 @@ env var at import time — so the actual reference graph-building code
 copied) can run its own `model.fit` through Keras-on-JAX on the SAME chip.
 That is the most literal "Keras on TPU" available in this environment.
 
-Run:  KERAS_BACKEND=jax python benchmarks/keras_denominator.py
-Appends the result to benchmarks/RESULTS.json under "keras_on_tpu".
+Run:  KERAS_BACKEND=jax python benchmarks/keras_denominator.py [decoder]
+``decoder`` (default UNetPP) measures any reference decoder family at the
+same 256^2/width-32 config — e.g. MultiResUNet, the framework's slowest
+family, so "beats Keras" is measured rather than assumed there.
+Merges the result into benchmarks/RESULTS.json under "keras_on_tpu".
 """
 import json
 import os
@@ -23,7 +26,7 @@ import numpy as np
 REF_2D = "/root/reference/TensorFlow/2DCNN"
 
 
-def build_reference_unetpp(batch, size):
+def build_reference_model(batch, size, decoder="UNetPP"):
     import keras
     import tensorflow as tf
 
@@ -50,7 +53,7 @@ def build_reference_unetpp(batch, size):
     from models import unet_variants  # noqa: executed for measurement only
 
     builder = unet_variants.unet_model_builder(
-        "UNetPP", size, size, 32, 4, num_channels=3, output_nums=1,
+        decoder, size, size, 32, 4, num_channels=3, output_nums=1,
         final_activation="sigmoid", train_mode="from_scratch")
     return builder.ResNet50()  # encoder method irrelevant in from_scratch
 
@@ -66,7 +69,8 @@ def main() -> None:
     size = 256 if on_tpu else 64
     steps = 10 if on_tpu else 2
 
-    model = build_reference_unetpp(batch, size)
+    decoder = sys.argv[1] if len(sys.argv) > 1 else "UNetPP"
+    model = build_reference_model(batch, size, decoder)
     model.compile(optimizer=keras.optimizers.Adam(1e-3),
                   loss="binary_crossentropy", jit_compile=True)
 
@@ -85,7 +89,8 @@ def main() -> None:
     n_chips = len(jax.devices())
     ips = batch * steps * epochs / dt / n_chips
     result = {
-        "keras_on_tpu_unetpp_%d_train_ips_per_chip" % size: round(ips, 2),
+        "keras_on_tpu_%s_%d_train_ips_per_chip"
+        % (decoder.lower(), size): round(ips, 2),
         "keras_version": keras.__version__,
         "backend": keras.backend.backend(),
         "platform": jax.devices()[0].platform,
@@ -99,7 +104,7 @@ def main() -> None:
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
-    data["keras_on_tpu"] = result
+    data.setdefault("keras_on_tpu", {}).update(result)
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
 

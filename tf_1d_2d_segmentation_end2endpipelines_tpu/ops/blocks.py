@@ -40,12 +40,14 @@ def remat_block(cls: type) -> type:
     ``jax.checkpoint`` in the train step (``remat='dots'``), this produces
     many small remat regions instead of one doubled graph.
 
-    Measured on the axon remote-compile tunnel (benchmarks/RESULTS.json,
-    'remat modes' note): the per-block form does NOT get past the tunnel's
-    compile helper at the zoo batches (b96/b128 MultiResUNet/UNet++ both
-    crash it, same as whole-graph 'dots' at b136+) — on this host it is a
-    numerics-verified memory tool, not a measured win.  Hosts with a local
-    XLA compiler may behave differently; keep it opt-in.
+    Measured on the axon remote-compile tunnel (benchmarks/RESULTS.json
+    "remat_modes" section): at b32, where memory fits, it runs but LOSES to
+    plain (205.18 vs 225.61 img/s — recompute with no byte win); at the zoo
+    b96-b128 optima it does NOT get past the tunnel's compile helper
+    (recorded crashes for MultiResUNet/UNet++, same as 'dots'/'conv_outs'
+    there) — on this host it is a numerics-verified memory tool, not a
+    measured win.  Hosts with a local XLA compiler may behave differently;
+    keep it opt-in.
 
     Param naming parity: the wrapped class keeps ``cls.__name__`` so flax
     auto-naming produces identical scopes — checkpoints are interchangeable
