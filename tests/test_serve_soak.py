@@ -196,3 +196,13 @@ def test_serving_soak_and_drain(tmp_path):
     # the drain closed the batcher only after the accepted work finished
     with np.testing.assert_raises(RuntimeError):
         batcher.predict(np.zeros((SIZE, SIZE, 3), np.float32), timeout=5)
+
+
+def test_listen_backlog_sized_for_production():
+    """The TPU-scale soak (benchmarks/serve_soak_tpu.py, 64 clients)
+    measured 1295/6400 ConnectionResetErrors from socketserver's default
+    backlog of 5; the documented 64-client recipe needs headroom."""
+    from tf_1d_2d_segmentation_end2endpipelines_tpu.serve import (
+        _DrainingHTTPServer)
+
+    assert _DrainingHTTPServer.request_queue_size >= 128
