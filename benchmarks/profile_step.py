@@ -2,10 +2,18 @@
 category breakdown (the profile-first rule's tooling; round-2 profiles
 drove every accepted/rejected optimization).
 
-Usage: python benchmarks/profile_step.py [batch] [remat] [decoder] [width]
+Usage: python benchmarks/profile_step.py [batch] [remat] [decoder] [width] [ops_n]
 Writes the trace under /tmp/tpuseg_profile and prints ms/step by fused-op
 category.  ``decoder`` (default UNetPP) profiles any SegModel family at
 its zoo config (e.g. MultiResUNet, UNet3P — the round-4 targets).
+``ops_n`` > 0 additionally prints the top-N INDIVIDUAL ops with their
+XLA source / model-path metadata — this view (not the category rollup)
+is what attributed MultiResUNet's step to the level-1 ResPath BN-backward
+reductions and exposed the batch-minor T(8,128) layouts (round 5).
+
+Run ONE process at a time on the axon tunnel: a concurrent process
+squeezes compile-time HBM and the compiler silently emits a many-times-
+slower auto-remat executable (observed 15x on MultiResUNet b128).
 """
 import collections
 import glob
@@ -39,6 +47,7 @@ def main():
     remat = sys.argv[2] if len(sys.argv) > 2 else "dots"
     decoder = sys.argv[3] if len(sys.argv) > 3 else "UNetPP"
     width = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    ops_n = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     size = 256
     steps = 3
     model = SegModel(decoder_name=decoder, model_width=width, model_depth=4,
@@ -77,12 +86,19 @@ def main():
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     cat = collections.Counter()
+    per_op = collections.Counter()
+    op_meta = {}
     for e in ev:
         if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
             n = e["name"]
             if n.startswith("jit_") or n.isdigit():
                 continue
             cat[re.sub(r"\.\d+(\.remat\d*)?$", "", n)] += e.get("dur", 0)
+            if ops_n:
+                per_op[n] += e.get("dur", 0)
+                if n not in op_meta:
+                    a = e.get("args", {})
+                    op_meta[n] = (a.get("tf_op", ""), a.get("source", ""))
     tot = sum(cat.values())
     if not tot:
         raise SystemExit("no TPU device events in the trace (CPU-only "
@@ -92,6 +108,14 @@ def main():
           f"({batch * steps * 1e6 / tot:.1f} img/s)")
     for name, d in cat.most_common(15):
         print(f"  {d / steps / 1e3:8.2f} ms/step  {name}")
+    if ops_n:
+        print(f"\ntop {ops_n} individual ops (model path | XLA source):")
+        for name, d in per_op.most_common(ops_n):
+            tf_op, source = op_meta[name]
+            # strip the jit(train_step)/ prefix; keep the model path
+            tf_op = re.sub(r"^jit\([^)]*\)/", "", tf_op)
+            print(f"  {d / steps / 1e3:8.2f}  {name}\n"
+                  f"            {tf_op}  [{source.rsplit('/', 1)[-1]}]")
     print(f"trace: {traces[-1]}")
 
 

@@ -20,6 +20,8 @@ its channel slice.  Contract under test:
   - full MultiResUNet / KSSNet forwards agree packed vs unpacked, and a
     checkpoint trained unpacked evaluates identically under packed.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,6 +124,9 @@ def test_pack_override_forces_mode():
     jax.tree_util.tree_map(np.testing.assert_array_equal, v1, v3)
 
 
+@pytest.mark.skipif(not os.environ.get("TPUSEG_FULL_TESTS"),
+                    reason="regression-frozen proof; ~35s/case on the "
+                    "1-core host — TPUSEG_FULL_TESTS=1 lane")
 @pytest.mark.parametrize("decoder", ["MultiResUNet", "KSSNet"])
 def test_full_model_packed_forward(decoder):
     """End-to-end: SegModel builds route MRB/ResPath through the packed path

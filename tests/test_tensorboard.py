@@ -69,7 +69,15 @@ def test_fit_without_tensorboard_never_imports_tf(tmp_path):
         "assert 'tensorflow' not in sys.modules, 'TF imported on the "
         "default path'\n"
         "print('NO_TF_OK')\n")
+    # hand the subprocess the suite's persistent compile cache (conftest
+    # sets it in-process only): without it the fresh interpreter
+    # recompiles every run — observed blowing the 600s bound under
+    # full-suite CPU load (same root cause as test_cli_module_entry)
+    from conftest import _cache
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=_cache,
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="0")
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=600,
-                         env={**os.environ, "JAX_PLATFORMS": "cpu"})
+                         text=True, timeout=600, env=env)
     assert "NO_TF_OK" in out.stdout, out.stderr[-2000:]
