@@ -15,7 +15,13 @@ zero non-200s, zero cross-wired responses, drain answers everything.
 Run on the TPU tunnel (the server subprocess owns the chip; this client
 process never imports jax):
 
-    python benchmarks/serve_soak_tpu.py [clients] [requests_per_client]
+    python benchmarks/serve_soak_tpu.py [clients] [requests_per_client] [drain-mid]
+
+``drain-mid`` sends SIGTERM while the burst is still in flight: the
+drain contract says every ACCEPTED request is answered before the
+batcher closes — clients see clean responses for in-flight work and
+connection refusals (never 500s, never truncated bytes) for connects
+after the socket closes.
 
 Prints one JSON line; record it in docs/SCALING.md.
 """
@@ -115,6 +121,7 @@ def _metrics() -> str:
 def main():
     clients = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     per = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    drain_mid = len(sys.argv) > 3 and sys.argv[3] == "drain-mid"
     ini = _ensure_checkpoint()
 
     srv = subprocess.Popen(
@@ -144,17 +151,27 @@ def main():
 
         fails, mismatches = [], []
         lat = []
+        post_sig = {"answered": 0, "refused": 0}
+        sig_sent = threading.Event()
         lock = threading.Lock()
 
         def client(ci):
             for j in range(per):
                 k = (ci * per + j) % len(payloads)
                 t0 = time.perf_counter()
+                sent_before_sig = not sig_sent.is_set()
                 try:
                     st, resp = _post(payloads[k])
                 except Exception as e:  # noqa: BLE001 — recorded, not fatal
                     with lock:
-                        fails.append(f"{ci}/{j}: {type(e).__name__}")
+                        if sig_sent.is_set():
+                            # connects after the socket closed are the
+                            # EXPECTED drain behavior, never an error
+                            post_sig["refused"] += 1
+                        else:
+                            fails.append(f"{ci}/{j}: {type(e).__name__}")
+                    if sig_sent.is_set():
+                        return          # server is draining; client done
                     continue
                 dt = time.perf_counter() - t0
                 with lock:
@@ -163,6 +180,8 @@ def main():
                         fails.append(f"{ci}/{j}: HTTP {st}")
                     elif resp != expected[k]:
                         mismatches.append(f"{ci}/{j}")
+                    elif sig_sent.is_set() and sent_before_sig:
+                        post_sig["answered"] += 1   # in-flight, drained OK
 
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(clients)]
@@ -171,34 +190,47 @@ def main():
             t.start()
         time.sleep(10)
         mid_metrics = _metrics()          # /metrics under load
+        drain_s = rc = None
+        if drain_mid:
+            # SIGTERM while the burst is in full flight
+            td = time.perf_counter()
+            sig_sent.set()
+            srv.send_signal(signal.SIGTERM)
+            rc = srv.wait(timeout=120)
+            drain_s = time.perf_counter() - td
         for t in threads:
             t.join()
         wall = time.perf_counter() - t0
-        end_metrics = _metrics()
-
-        qs = dict(re.findall(
-            r'tpuseg_request_latency_seconds\{quantile="([\d.]+)"\} '
-            r'([\d.eE+-]+)', end_metrics))
-        codes = dict(re.findall(
-            r'tpuseg_requests_total\{code="(\d+)"\} (\d+)', end_metrics))
-
-        # graceful drain: SIGTERM, in-flight answered, clean exit
-        t0 = time.perf_counter()
-        srv.send_signal(signal.SIGTERM)
-        rc = srv.wait(timeout=120)
-        drain_s = time.perf_counter() - t0
+        qs = codes = {}
+        if not drain_mid:
+            end_metrics = _metrics()
+            qs = dict(re.findall(
+                r'tpuseg_request_latency_seconds\{quantile="([\d.]+)"\} '
+                r'([\d.eE+-]+)', end_metrics))
+            codes = dict(re.findall(
+                r'tpuseg_requests_total\{code="(\d+)"\} (\d+)', end_metrics))
+            # graceful drain: SIGTERM, in-flight answered, clean exit
+            td = time.perf_counter()
+            sig_sent.set()
+            srv.send_signal(signal.SIGTERM)
+            rc = srv.wait(timeout=120)
+            drain_s = time.perf_counter() - td
 
         lat.sort()
         result = {
+            "mode": "drain-mid" if drain_mid else "full-soak",
             "clients": clients, "requests_per_client": per,
             "total_requests": clients * per,
+            "answered_200": len(lat),
             "failures": len(fails), "byte_mismatches": len(mismatches),
             "wall_s": round(wall, 1),
-            "req_per_s": round(clients * per / wall, 1),
+            "req_per_s": round(len(lat) / wall, 1),
             "client_p50_ms": round(lat[len(lat) // 2] * 1e3, 1) if lat else None,
             "client_p99_ms": round(lat[int(len(lat) * 0.99)] * 1e3, 1) if lat else None,
             "server_quantiles_s": qs, "server_codes": codes,
             "metrics_alive_under_load": "tpuseg_requests_total" in mid_metrics,
+            "in_flight_answered_after_sigterm": post_sig["answered"],
+            "refused_after_sigterm": post_sig["refused"],
             "drain_s": round(drain_s, 2), "server_exit": rc,
         }
         print(json.dumps(result), flush=True)
